@@ -1,0 +1,135 @@
+"""Headline benchmark: streaming encode→detect throughput on one TPU chip.
+
+Pipeline measured (the flagship GEN1 AED + TAF-K8 recipe, fused on device —
+the path the reference leaves dormant in data/fetcher.py + data/sparse_ops.py
+and instead runs offline + batch-1 GPU eval):
+
+  per 10 ms window and per stream: one TAF queue update (scatter of E events
+  into the (H, W, 2, 8) state), leaky transform → 16-channel volume, nearest
+  resize to 256×320, AED forward (BFM stem + Darknet-21 + PAFPN + YOLOX head),
+  decode + confidence gate + NMS — all inside ONE jitted step, batched over
+  B parallel streams.
+
+Baseline denominator (see BASELINE.md): the reference publishes no numbers;
+its eval loop processes 10 ms windows at batch 1 with CUDA-synced per-window
+timing, i.e. real-time operation = 100 windows/s. We report
+vs_baseline = windows_per_second / 100.0 — the "×10 real-time per chip" gate
+of BASELINE.json corresponds to vs_baseline >= 10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/jax_comp_cache"))
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frlw_evd_tpu.encode.taf import leaky_transform, taf_bin_step
+from frlw_evd_tpu.models import build_detector
+from frlw_evd_tpu.models.detector import eval_decode
+from frlw_evd_tpu.models.postprocess import postprocess_batch
+
+SENSOR_HW = (240, 304)
+INPUT_HW = (256, 320)
+K = 8
+BATCH = 32            # parallel streams
+EVENTS_PER_BIN = 16384
+STEPS_PER_CALL = 10   # windows advanced per jitted call (amortise dispatch)
+
+
+def make_pipeline(model, variables):
+    h, w = SENSOR_HW
+
+    def one_window(state, xytp, n_valid):
+        # state: (B, H, W, 2, K); xytp: (B, E, 4)
+        state = jax.vmap(taf_bin_step)(state, xytp, n_valid)
+        vol = jax.vmap(_state_to_input)(state)
+        outs = model.apply(variables, vol.astype(jnp.bfloat16), False)
+        outs = [o.astype(jnp.float32) for o in outs]
+        decoded = eval_decode(outs, (8, 16, 32))
+        dets, keep = postprocess_batch(decoded)
+        return state, (dets, keep)
+
+    def _state_to_input(state):
+        # (H, W, 2, K) → newest-first (H, W, 2K) leaky volume → resize → /255
+        vol = state[..., ::-1]
+        vol = jnp.swapaxes(vol, 2, 3).reshape(h, w, 2 * K)
+        vol = leaky_transform(vol) / 255.0
+        ys = (jnp.arange(INPUT_HW[0]) * (h / INPUT_HW[0])).astype(jnp.int32)
+        xs = (jnp.arange(INPUT_HW[1]) * (w / INPUT_HW[1])).astype(jnp.int32)
+        return vol[ys[:, None], xs[None, :], :]
+
+    @jax.jit
+    def run_steps(state, events, n_valid):
+        # events: (S, B, E, 4); scan S windows per call
+        def step(s, inp):
+            ev, nv = inp
+            s, (dets, keep) = one_window(s, ev, nv)
+            return s, keep.sum()
+        state, kept = jax.lax.scan(step, state, (events, n_valid))
+        return state, kept
+
+    return run_steps
+
+
+def synth_events(rng, steps, batch, e_per_bin):
+    h, w = SENSOR_HW
+    ev = np.zeros((steps, batch, e_per_bin, 4), np.float32)
+    ev[..., 0] = rng.integers(0, w, ev.shape[:-1])
+    ev[..., 1] = rng.integers(0, h, ev.shape[:-1])
+    ev[..., 2] = rng.uniform(0, 1, ev.shape[:-1])
+    ev[..., 3] = rng.integers(0, 2, ev.shape[:-1])
+    n_valid = np.full((steps, batch), e_per_bin, np.int32)
+    return jnp.asarray(ev), jnp.asarray(n_valid)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    model = build_detector(2, family="aed", stem="bfm")
+    sample = jnp.zeros((BATCH, INPUT_HW[0], INPUT_HW[1], 2 * K), jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), sample, False)
+
+    run_steps = make_pipeline(model, variables)
+    h, w = SENSOR_HW
+    state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
+    events, n_valid = synth_events(rng, STEPS_PER_CALL, BATCH, EVENTS_PER_BIN)
+
+    # warmup / compile
+    state, _ = run_steps(state, events, n_valid)
+    jax.block_until_ready(state)
+
+    n_calls = 5
+    t0 = time.time()
+    for _ in range(n_calls):
+        state, kept = run_steps(state, events, n_valid)
+    jax.block_until_ready(state)
+    elapsed = time.time() - t0
+
+    windows = n_calls * STEPS_PER_CALL * BATCH
+    wps = windows / elapsed
+    mev_s = windows * EVENTS_PER_BIN / elapsed / 1e6
+    print(f"# {wps:.1f} windows/s, {mev_s:.1f} Mev/s encoded, "
+          f"{elapsed / (n_calls * STEPS_PER_CALL) * 1000:.2f} ms per "
+          f"{BATCH}-stream window batch", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "gen1_aed_taf8_encode_detect_throughput",
+        "value": round(wps, 1),
+        "unit": "windows/s/chip",
+        "vs_baseline": round(wps / 100.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

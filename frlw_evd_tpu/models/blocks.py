@@ -1,0 +1,175 @@
+"""Network building blocks (reference: core/yolox/models/network_blocks.py).
+
+NHWC flax.linen modules. Conv weights are HWIO; BatchNorm follows the torch
+convention (momentum 0.1 → flax momentum 0.9, eps 1e-5) so imported running
+stats behave identically.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def get_activation(name: str = "silu") -> Callable:
+    if name == "silu":
+        return jax.nn.silu
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, 0.1)
+    if name == "gelu":
+        return jax.nn.gelu
+    raise ValueError(f"Unsupported act type: {name}")
+
+
+class BaseConv(nn.Module):
+    """Conv2d → BatchNorm → activation (network_blocks.py:33)."""
+
+    out_channels: int
+    ksize: int
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.ksize - 1) // 2
+        x = nn.Conv(
+            self.out_channels,
+            kernel_size=(self.ksize, self.ksize),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            name="bn",
+        )(x)
+        return get_activation(self.act)(x)
+
+
+class DWConv(nn.Module):
+    """Depthwise conv + pointwise conv (network_blocks.py:68)."""
+
+    out_channels: int
+    ksize: int
+    stride: int = 1
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        x = BaseConv(in_ch, self.ksize, self.stride, groups=in_ch,
+                     act=self.act, name="dconv")(x, train)
+        return BaseConv(self.out_channels, 1, 1, act=self.act,
+                        name="pconv")(x, train)
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck (network_blocks.py:89)."""
+
+    out_channels: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.out_channels * self.expansion)
+        Conv = DWConv if self.depthwise else BaseConv
+        y = BaseConv(hidden, 1, 1, act=self.act, name="conv1")(x, train)
+        y = Conv(self.out_channels, 3, 1, act=self.act, name="conv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.out_channels:
+            y = y + x
+        return y
+
+
+class ResLayer(nn.Module):
+    """Residual layer: 1x1 halve → 3x3 restore → add (network_blocks.py:113)."""
+
+    in_channels: int
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.in_channels // 2
+        out = BaseConv(mid, 1, 1, act=self.act, name="layer1")(x, train)
+        out = BaseConv(self.in_channels, 3, 1, act=self.act, name="layer2")(out, train)
+        return x + out
+
+
+class SPPBottleneck(nn.Module):
+    """Spatial pyramid pooling (network_blocks.py:131)."""
+
+    out_channels: int
+    kernel_sizes: Sequence[int] = (5, 9, 13)
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = x.shape[-1] // 2
+        x = BaseConv(hidden, 1, 1, act=self.act, name="conv1")(x, train)
+        pools = [
+            nn.max_pool(x, (ks, ks), strides=(1, 1),
+                        padding=[(ks // 2, ks // 2), (ks // 2, ks // 2)])
+            for ks in self.kernel_sizes
+        ]
+        x = jnp.concatenate([x] + pools, axis=-1)
+        return BaseConv(self.out_channels, 1, 1, act=self.act, name="conv2")(x, train)
+
+
+class CSPLayer(nn.Module):
+    """C3 / CSP bottleneck with 3 convs (network_blocks.py:156)."""
+
+    out_channels: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.out_channels * self.expansion)
+        x1 = BaseConv(hidden, 1, 1, act=self.act, name="conv1")(x, train)
+        x2 = BaseConv(hidden, 1, 1, act=self.act, name="conv2")(x, train)
+        for i in range(self.n):
+            x1 = Bottleneck(hidden, self.shortcut, 1.0, self.depthwise,
+                            self.act, name=f"m_{i}")(x1, train)
+        x = jnp.concatenate([x1, x2], axis=-1)
+        return BaseConv(self.out_channels, 1, 1, act=self.act, name="conv3")(x, train)
+
+
+def space_to_depth_patches(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 patchify with the reference's channel order (top_left, bot_left,
+    top_right, bot_right) — network_blocks.py:203-218. NHWC."""
+    tl = x[:, ::2, ::2, :]
+    tr = x[:, ::2, 1::2, :]
+    bl = x[:, 1::2, ::2, :]
+    br = x[:, 1::2, 1::2, :]
+    return jnp.concatenate([tl, bl, tr, br], axis=-1)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (network_blocks.py:196)."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = space_to_depth_patches(x)
+        return BaseConv(self.out_channels, self.ksize, self.stride,
+                        act=self.act, name="conv")(x, train)

@@ -1,0 +1,86 @@
+"""Composite detector: stem+backbone → neck → head (reference: core/model.py).
+
+The reference iterates a trailing time dimension with optional recurrent
+memory; for the wired exp types (basic/taf/taf_bfm/yolox*/yolov3*) the time
+depth is 1, so the core module is a single-window NHWC detector. Sequence
+models (ConvLSTM/ConvGRU memory) thread state through `lax.scan` in
+models/memory.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import Focus
+from .darknet import CSPDarknet, Darknet
+from .heads import YOLOXHead, compute_losses, decode_outputs, flatten_level_outputs, level_grids
+from .pafpn import YOLOPAFPN
+from .stems import BinsFusionModule, TemporalActiveFocus
+
+
+class EventDetector(nn.Module):
+    """backbone → neck → head; returns raw per-level maps."""
+
+    backbone: nn.Module
+    neck: nn.Module
+    head: nn.Module
+
+    def __call__(self, x, train: bool = False):
+        feats = self.backbone(x, train)
+        feats = self.neck(feats, train)
+        return self.head(feats, train)
+
+
+_STEMS = {
+    "focus": Focus,
+    "taf": TemporalActiveFocus,
+    "bfm": BinsFusionModule,
+}
+
+
+def build_detector(num_classes: int, *, family: str = "aed",
+                   stem: str = "focus", act: str = "silu",
+                   strides: Sequence[int] = (8, 16, 32),
+                   in_channels: Sequence[int] = (256, 256, 256),
+                   depth: float = 0.33, stem_out_channels: int = 64,
+                   head_width: int = 256) -> EventDetector:
+    """Exp-type model matrix (core/exp.py:352-391, :580-591).
+
+    family: 'aed' (Darknet-21, uniform 256ch) or 'yolox' (CSPDarknet 0.33/0.5).
+    stem: 'focus' | 'taf' | 'bfm'. Width knobs exist for fast tests; reference
+    configs use the defaults.
+    """
+    stem_cls = _STEMS[stem]
+    if family == "aed":
+        backbone = Darknet(depth=21, stem=stem_cls,
+                           stem_out_channels=stem_out_channels,
+                           out_channels=tuple(in_channels), act=act)
+        neck = YOLOPAFPN(depth=depth, in_channels=tuple(in_channels), act=act)
+    elif family == "yolox":
+        in_channels = (128, 256, 512)
+        backbone = CSPDarknet(dep_mul=0.33, wid_mul=0.5, stem=stem_cls, act=act)
+        neck = YOLOPAFPN(depth=0.33, in_channels=tuple(in_channels), act=act)
+    else:
+        raise ValueError(f"unknown family {family}")
+    head = YOLOXHead(num_classes=num_classes, strides=tuple(strides), act=act,
+                     width=head_width)
+    return EventDetector(backbone=backbone, neck=neck, head=head)
+
+
+def eval_decode(level_outs, strides):
+    """Eval-path decode: sigmoid obj/cls then geometric decode → (N, A, 5+C)."""
+    hw = [o.shape[1:3] for o in level_outs]
+    x_shift, y_shift, stride = [jnp.asarray(a) for a in level_grids(hw, strides)]
+    outputs = flatten_level_outputs(level_outs)
+    outputs = jnp.concatenate(
+        [outputs[..., :4], jax.nn.sigmoid(outputs[..., 4:])], axis=-1)
+    return decode_outputs(outputs, x_shift, y_shift, stride)
+
+
+def detector_loss(level_outs, labels, strides, num_classes, radius):
+    hw = [o.shape[1:3] for o in level_outs]
+    return compute_losses(level_outs, labels, hw, strides, num_classes, radius)

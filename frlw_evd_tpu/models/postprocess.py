@@ -1,0 +1,101 @@
+"""Inference post-processing: confidence filter + NMS in fixed shapes.
+
+Reference behavior (yolo_head.py:258-303): per image, keep detections with
+obj_conf > 0.3, class-agnostic NMS at IoU 0.6 on obj scores, then emit rows
+[cx, cy, w, h, argmax_cls, obj*max_cls]. The reference's data-dependent
+filtering becomes a top-K selection + validity mask so the whole path jits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def cxcywh_to_xyxy(boxes):
+    half = boxes[..., 2:4] / 2
+    return jnp.concatenate([boxes[..., :2] - half, boxes[..., :2] + half], -1)
+
+
+def iou_matrix_xyxy(boxes):
+    """(K, 4) xyxy → (K, K) IoU (torchvision.ops.nms semantics)."""
+    tl = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    br = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    inter = jnp.prod(jnp.maximum(br - tl, 0.0), axis=-1)
+    area = jnp.prod(jnp.maximum(boxes[:, 2:] - boxes[:, :2], 0.0), axis=-1)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def nms_mask(boxes_xyxy, scores, valid, iou_threshold: float):
+    """Greedy class-agnostic NMS over K pre-sorted-by-score boxes.
+
+    Boxes MUST be sorted by descending score. Returns (K,) keep mask.
+    Implemented as a sequential scan over the sorted list — identical result
+    to torchvision.ops.nms."""
+    K = boxes_xyxy.shape[0]
+    ious = iou_matrix_xyxy(boxes_xyxy)
+
+    def body(keep, i):
+        # suppressed if any kept higher-scoring box overlaps > threshold
+        sup = jnp.any(keep & (jnp.arange(K) < i) & (ious[i] > iou_threshold))
+        keep = keep.at[i].set(valid[i] & ~sup)
+        return keep, None
+
+    keep0 = jnp.zeros(K, bool)
+    keep, _ = jax.lax.scan(body, keep0, jnp.arange(K))
+    return keep
+
+
+@partial(jax.jit, static_argnames=("max_detections",))
+def postprocess_image(decoded, *, conf_threshold: float = 0.3,
+                      nms_threshold: float = 0.6, max_detections: int = 200):
+    """One image: decoded (A, 4+1+C) with sigmoided obj/cls (eval path).
+
+    Returns (dets (max_detections, 6) rows [cx,cy,w,h,cls,score], valid mask).
+    """
+    boxes = decoded[:, :4]
+    obj = decoded[:, 4]
+    cls_probs = decoded[:, 5:]
+    max_detections = min(max_detections, decoded.shape[0])
+
+    conf_ok = obj > conf_threshold
+    sel_scores = jnp.where(conf_ok, obj, -1.0)
+    top_scores, top_idx = jax.lax.top_k(sel_scores, max_detections)
+    valid = top_scores > conf_threshold
+
+    top_boxes = boxes[top_idx]
+    top_cls = cls_probs[top_idx]
+    keep = nms_mask(cxcywh_to_xyxy(top_boxes), top_scores, valid, nms_threshold)
+
+    cls_id = jnp.argmax(top_cls, axis=-1).astype(jnp.float32)
+    score = top_scores * jnp.max(top_cls, axis=-1)
+    dets = jnp.concatenate(
+        [top_boxes, cls_id[:, None], score[:, None]], axis=-1)
+    return dets, keep
+
+
+@partial(jax.jit, static_argnames=("max_detections",))
+def postprocess_batch(decoded, *, conf_threshold: float = 0.3,
+                      nms_threshold: float = 0.6, max_detections: int = 200):
+    fn = partial(postprocess_image, conf_threshold=conf_threshold,
+                 nms_threshold=nms_threshold, max_detections=max_detections)
+    return jax.vmap(fn)(decoded)
+
+
+def finalize_detections(dets, keep):
+    """Host-side: strip padding; mirrors the reference's dummy row when no
+    detection survives (yolo_head.py:277-278 emits a zero row)."""
+    import numpy as np
+
+    dets = np.asarray(dets)
+    keep = np.asarray(keep)
+    out = []
+    for d, k in zip(dets, keep):
+        rows = d[k]
+        if len(rows) == 0:
+            rows = np.zeros((1, 6), dtype=np.float32)
+        out.append(rows)
+    return out

@@ -6,12 +6,18 @@ the XLA host platform with 8 virtual devices (SURVEY.md §4 implication (c)).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env may preset a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The environment's sitecustomize registers a TPU platform plugin and rewrites
+# jax_platforms; force CPU again before any backend initialises.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

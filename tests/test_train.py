@@ -1,0 +1,115 @@
+"""End-to-end training smoke test on the synthetic mini-GEN1 fixture, and
+multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from frlw_evd_tpu.train import Trainer, make_config
+from frlw_evd_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from frlw_evd_tpu.train.schedule import yolox_warm_cos_schedule
+from frlw_evd_tpu.parallel.mesh import make_mesh, shard_batch
+
+from fixtures import INPUT_HW, build_mini_gen1
+
+
+def tiny_trainer(paths, exp_type="basic", **over):
+    cfg = make_config(
+        exp_type,
+        data_path=paths["ev_dir"] if exp_type == "basic" else paths["taf_dir"],
+        bbox_path=paths["labels"],
+        batch_size=2,
+        num_workers=2,
+        max_epoch=4,
+        max_epoch_to_stop=1,
+        warmup_epochs=1,
+        augmentation=False,
+        half_precision=False,
+        event_volume_bins=5 if exp_type == "basic" else 8,
+        img_size_override=INPUT_HW,
+        sensor_hw_override=(60, 76),
+        **over,
+    )
+    # shrink model for CPU test speed
+    cfg.in_channels = (32, 32, 32)
+    t = Trainer(cfg)
+    from frlw_evd_tpu.models import build_detector
+    t.model = build_detector(cfg.num_classes, family=cfg.family,
+                             stem=cfg.stem, act=cfg.act, strides=cfg.strides,
+                             in_channels=cfg.in_channels,
+                             stem_out_channels=16, head_width=32)
+    return t
+
+
+@pytest.fixture(scope="module")
+def mini(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mini_train")
+    return build_mini_gen1(str(root))
+
+
+def test_schedule_matches_reference_law():
+    sched = yolox_warm_cos_schedule(0.01, 0.05, total_iters=1000,
+                                    warmup_total_iters=100, warmup_lr_start=0.0)
+    # quadratic warmup: at step 49 (iters=50) → 0.01 * (50/100)^2
+    assert float(sched(49)) == pytest.approx(0.01 * 0.25, rel=1e-5)
+    # end of cosine → min_lr
+    assert float(sched(998)) == pytest.approx(0.0005, rel=1e-2)
+    # peak right after warmup
+    assert float(sched(100)) == pytest.approx(0.01, rel=1e-3)
+
+
+def test_train_one_epoch_and_eval(mini, tmp_path):
+    t = tiny_trainer(mini, log_path=str(tmp_path))
+    t.create_datasets()
+    t.build(len(t.train_loader))
+    first = t.train_epoch()
+    assert np.isfinite(first["total_loss"])
+    # second epoch: loss should not blow up
+    t.epoch += 1
+    second = t.train_epoch()
+    assert second["total_loss"] < first["total_loss"] * 3
+
+    stats = t.eval_epoch(t.make_evaluator())
+    assert len(stats) == 6
+    assert np.isfinite(stats[0])
+
+
+def test_checkpoint_roundtrip(mini, tmp_path):
+    t = tiny_trainer(mini, log_path=str(tmp_path))
+    t.create_datasets()
+    t.build(1)
+    path = str(tmp_path / "ckpt" / "last_epoch")
+    save_checkpoint(path, t.state, epoch=3, max_score=0.5)
+    state2, epoch, score = load_checkpoint(path, t.state)
+    assert epoch == 4 and score == 0.5
+    a = jax.tree.leaves(t.state.params)[0]
+    b = jax.tree.leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_train_step_on_8_devices(mini, tmp_path):
+    """The jitted train step under a real 8-device data mesh."""
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    t = tiny_trainer(mini, log_path=str(tmp_path))
+    t.cfg.batch_size = 8
+    t.create_datasets()
+    t.build(4)
+    mesh = make_mesh(8)
+    t.mesh = mesh
+    # nonzero input: all-zero volumes give every BN zero variance, and ~15
+    # stacked rsqrt(eps) factors overflow the backward pass (same in torch)
+    imgs = jax.random.uniform(jax.random.key(2),
+                              (8, INPUT_HW[0], INPUT_HW[1], 10))
+    labels = np.zeros((8, 80, 5), np.float32)
+    labels[:, 0] = [0, 20, 20, 12, 12]
+    imgs, labels = shard_batch(mesh, (imgs, jnp.asarray(labels)))
+    state0 = t.state
+    state1, losses = t.train_step(state0, imgs, labels,
+                                  jax.random.key(0))
+    assert np.isfinite(float(losses["total_loss"]))
+    # params actually updated
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state0.params, state1.params)
+    assert max(jax.tree.leaves(d)) > 0
