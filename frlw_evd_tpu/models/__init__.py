@@ -20,3 +20,6 @@ from .pafpn import YOLOPAFPN, YOLOFPN
 from .stems import TemporalActiveFocus, BinsFusionModule
 from .heads import YOLOXHead
 from .detector import EventDetector, build_detector
+from .yolov3 import YOLOv3Detector
+from .memory import ConvLSTMCell, ConvGRUCell, MemoryModel
+from .seq_nms import seq_nms, SeqNMSState

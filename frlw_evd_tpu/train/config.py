@@ -124,4 +124,9 @@ def make_config(exp_type: str, **overrides) -> ExpConfig:
     cfg = ExpConfig(exp_type=exp_type, **spec, **overrides)
     if cfg.dataset == "gen4":
         cfg.max_epoch_to_stop = 50
+    if cfg.family == "yolov3" and cfg.img_size_override is None:
+        # the yolov3 exp trains at 640x640 with box clipping
+        # (reference train.py:44-66, head.py img_size=640)
+        cfg.img_size_override = (640, 640)
+        cfg.clipping = True
     return cfg

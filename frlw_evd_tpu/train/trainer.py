@@ -55,6 +55,56 @@ def create_train_state(model, rng, sample_input, tx) -> TrainState:
     )
 
 
+def make_yolov3_train_step(num_classes, img_size, half_precision=False):
+    """YOLOv3 family: the anchor gt tensor is computed host-side per batch
+    (models/yolov3.gt_creator) and passed in."""
+    from ..models.yolov3 import yolov3_loss
+
+    @jax.jit
+    def train_step(state: TrainState, imgs, gt_tensor, dropout_rng):
+        if half_precision:
+            imgs = imgs.astype(jnp.bfloat16)
+
+        def loss_fn(params):
+            outs, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            outs = [o.astype(jnp.float32) for o in outs]
+            losses = yolov3_loss(outs, gt_tensor, num_classes, img_size)
+            return losses["total_loss"], (losses, updates["batch_stats"])
+
+        (loss, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, losses
+
+    return train_step
+
+
+def make_yolov3_eval_step(num_classes, img_size, max_detections=200,
+                          half_precision=False):
+    from ..models.yolov3 import yolov3_eval_decode
+
+    @jax.jit
+    def eval_step(state: TrainState, imgs):
+        if half_precision:
+            imgs = imgs.astype(jnp.bfloat16)
+        outs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, False)
+        outs = [o.astype(jnp.float32) for o in outs]
+        decoded = yolov3_eval_decode(outs, num_classes, img_size)
+        return postprocess_batch(decoded, conf_threshold=0.3,
+                                 nms_threshold=0.5,
+                                 max_detections=max_detections)
+
+    return eval_step
+
+
 def make_train_step(strides, num_classes, radius, half_precision=False):
     """Returns a jitted (state, imgs, labels, dropout_rng) → (state, metrics).
 
@@ -111,10 +161,17 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_data_mesh(
             cfg.batch_size, cfg.data_axis)
-        self.model = build_detector(
-            cfg.num_classes, family=cfg.family if cfg.family != "yolov3" else "aed",
-            stem=cfg.stem, act=cfg.act, strides=cfg.strides,
-            in_channels=cfg.in_channels, depth=cfg.depth)
+        if cfg.family == "yolov3":
+            from ..models.yolov3 import YOLOv3Detector
+
+            self.model = YOLOv3Detector(cfg.num_classes,
+                                        use_bfm_stem=(cfg.stem == "bfm"),
+                                        act=cfg.act)
+        else:
+            self.model = build_detector(
+                cfg.num_classes, family=cfg.family, stem=cfg.stem,
+                act=cfg.act, strides=cfg.strides,
+                in_channels=cfg.in_channels, depth=cfg.depth)
         self.exp_dir = os.path.join(
             cfg.log_path, cfg.exp_name or cfg.resume_exp or cfg.exp_type)
         self.ckpt_dir = os.path.join(self.exp_dir, "checkpoints")
@@ -169,11 +226,18 @@ class Trainer:
         sample = jnp.zeros((1, h, w, cfg.input_channels), jnp.float32)
         self.state = create_train_state(self.model, jax.random.key(cfg.seed),
                                         sample, tx)
-        self.train_step = make_train_step(cfg.strides, cfg.num_classes,
-                                          cfg.center_radius,
-                                          cfg.half_precision)
-        self.eval_step = make_eval_step(cfg.strides,
-                                        half_precision=cfg.half_precision)
+        if cfg.family == "yolov3":
+            self.train_step = make_yolov3_train_step(
+                cfg.num_classes, cfg.img_size[0], cfg.half_precision)
+            self.eval_step = make_yolov3_eval_step(
+                cfg.num_classes, cfg.img_size[0],
+                half_precision=cfg.half_precision)
+        else:
+            self.train_step = make_train_step(cfg.strides, cfg.num_classes,
+                                              cfg.center_radius,
+                                              cfg.half_precision)
+            self.eval_step = make_eval_step(cfg.strides,
+                                            half_precision=cfg.half_precision)
         self.dropout_rng = jax.random.key(cfg.seed + 1)
         n_params = sum(p.size for p in jax.tree.leaves(self.state.params))
         print(f"{n_params:,} total parameters.")
@@ -181,7 +245,13 @@ class Trainer:
     # -- loops -------------------------------------------------------------
     def train_epoch(self):
         losses_acc = []
+        is_v3 = self.cfg.family == "yolov3"
+        if is_v3:
+            from ..models.yolov3 import gt_creator
         for imgs, labels, names, tss in self.train_loader:
+            if is_v3:
+                labels = gt_creator(self.cfg.img_size[0], self.cfg.strides,
+                                    labels)
             batch = shard_batch(self.mesh, (jnp.asarray(imgs),
                                             jnp.asarray(labels)),
                                 self.cfg.data_axis)
