@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from frlw_evd_tpu.encode.taf import leaky_transform, taf_bin_step
+from frlw_evd_tpu.encode.streaming import taf_stream_step
+from frlw_evd_tpu.encode.taf import leaky_transform
 from frlw_evd_tpu.models import build_detector
 from frlw_evd_tpu.models.detector import eval_decode
 from frlw_evd_tpu.models.postprocess import postprocess_batch
@@ -42,22 +43,22 @@ from frlw_evd_tpu.models.postprocess import postprocess_batch
 SENSOR_HW = (240, 304)
 INPUT_HW = (256, 320)
 K = 8
-BATCH = 32            # parallel streams
+BATCH = 64            # parallel streams
 EVENTS_PER_BIN = 16384
-STEPS_PER_CALL = 10   # windows advanced per jitted call (amortise dispatch)
+STEPS_PER_CALL = 10   # distinct synthetic event batches cycled over
 
 
 def make_pipeline(model, variables):
     h, w = SENSOR_HW
 
     def one_window(state, xytp, n_valid):
-        # state: (B, H, W, 2, K); xytp: (B, E, 4)
-        state = jax.vmap(taf_bin_step)(state, xytp, n_valid)
+        # state: (B, H, W, 2, K); xytp: (B, E, 4); MXU-matmul scatter
+        state = taf_stream_step(state, xytp, n_valid, use_mxu=True)
         vol = jax.vmap(_state_to_input)(state)
         outs = model.apply(variables, vol.astype(jnp.bfloat16), False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, (8, 16, 32))
-        dets, keep = postprocess_batch(decoded)
+        dets, keep = postprocess_batch(decoded, max_detections=100)
         return state, (dets, keep)
 
     def _state_to_input(state):
@@ -70,16 +71,13 @@ def make_pipeline(model, variables):
         return vol[ys[:, None], xs[None, :], :]
 
     @jax.jit
-    def run_steps(state, events, n_valid):
-        # events: (S, B, E, 4); scan S windows per call
-        def step(s, inp):
-            ev, nv = inp
-            s, (dets, keep) = one_window(s, ev, nv)
-            return s, keep.sum()
-        state, kept = jax.lax.scan(step, state, (events, n_valid))
-        return state, kept
+    def run_step(state, ev, nv):
+        # one fused encode→detect window (scan over steps made the remote
+        # compiler pathologically slow; a python loop costs ~dispatch only)
+        state, (dets, keep) = one_window(state, ev, nv)
+        return state, keep.sum()
 
-    return run_steps
+    return run_step
 
 
 def synth_events(rng, steps, batch, e_per_bin):
@@ -99,28 +97,34 @@ def main():
     sample = jnp.zeros((BATCH, INPUT_HW[0], INPUT_HW[1], 2 * K), jnp.bfloat16)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.key(0), sample, False)
+    # inference in bf16 end-to-end: avoids per-layer f32<->bf16 conversions
+    variables = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        variables)
 
-    run_steps = make_pipeline(model, variables)
+    run_step = make_pipeline(model, variables)
     h, w = SENSOR_HW
     state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
     events, n_valid = synth_events(rng, STEPS_PER_CALL, BATCH, EVENTS_PER_BIN)
 
-    # warmup / compile
-    state, _ = run_steps(state, events, n_valid)
-    jax.block_until_ready(state)
+    # warmup / compile; force a host read — block_until_ready alone is not a
+    # reliable fence on this experimental platform
+    state, kept = run_step(state, events[0], n_valid[0])
+    float(kept)
 
-    n_calls = 5
+    n_steps = 50
     t0 = time.time()
-    for _ in range(n_calls):
-        state, kept = run_steps(state, events, n_valid)
-    jax.block_until_ready(state)
+    for i in range(n_steps):
+        state, kept = run_step(state, events[i % STEPS_PER_CALL],
+                               n_valid[i % STEPS_PER_CALL])
+    float(kept)  # fence
     elapsed = time.time() - t0
 
-    windows = n_calls * STEPS_PER_CALL * BATCH
+    windows = n_steps * BATCH
     wps = windows / elapsed
     mev_s = windows * EVENTS_PER_BIN / elapsed / 1e6
     print(f"# {wps:.1f} windows/s, {mev_s:.1f} Mev/s encoded, "
-          f"{elapsed / (n_calls * STEPS_PER_CALL) * 1000:.2f} ms per "
+          f"{elapsed / n_steps * 1000:.2f} ms per "
           f"{BATCH}-stream window batch", file=sys.stderr)
 
     print(json.dumps({

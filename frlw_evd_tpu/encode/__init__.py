@@ -22,3 +22,5 @@ from .count_image import encode_count_image, encode_count_image_batch
 from .sae import encode_sae, encode_sae_batch
 from .taf import taf_bin_step, encode_taf_window, taf_init_state, leaky_transform
 from . import oracle
+from .mxu_scatter import scatter_add_mxu, scatter_cnt_tsum_mxu
+from . import streaming

@@ -1,0 +1,185 @@
+"""Batched streaming encoders with state carry (reference: data/sparse_ops.py).
+
+These are the `to_volume` functors for the online encode→detect path: every
+window they consume one padded event slice per stream and update a carried
+state, entirely on device. Variants:
+
+  * event_volume_stream — incremental Event Volume: keep the past (bins, 2)
+    per-pixel volume, shift one bin per infer_time step, splat the new slice
+    into the last two bins (sparse_ops.py:4-35)
+  * event_frame_stream — binary occupancy frame (sparse_ops.py:88-107)
+  * taf_stream — one 10 ms queue update per window (generate_taf_cuda +
+    the offline queue semantics; state (B, H, W, 2, K))
+  * sae_stream — decayed last-timestamp surface with memory carry
+
+The hot scatter uses `scatter_add_mxu` (encode/mxu_scatter.py), the
+matmul-reformulated scatter that rides the MXU instead of XLA's serialised
+scatter loop (~5x faster at GEN1 scale); set ``use_mxu=False`` for the exact
+XLA-scatter path (bit-parity with the oracle).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .mxu_scatter import scatter_add_mxu, scatter_cnt_tsum_mxu
+
+
+# ---------------------------------------------------------------------------
+# Event Volume (incremental)
+# ---------------------------------------------------------------------------
+
+class EVState(NamedTuple):
+    volume: jnp.ndarray  # (B, H, W, bins, 2) accumulated splats
+
+
+def ev_init_state(batch, height, width, bins=5):
+    return EVState(jnp.zeros((batch, height, width, bins, 2), jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("height", "width", "bins", "events_window",
+                                   "infer_time", "use_mxu"))
+def event_volume_stream(xytp, n_valid, state: Optional[EVState], now, *,
+                        height: int, width: int, bins: int = 5,
+                        events_window: int = 50000, infer_time: int = 10000,
+                        use_mxu: bool = True):
+    """One incremental step (sparse_ops.generate_agile_event_volume_cuda).
+
+    xytp: (B, E, 4) raw [x, y, t(µs), p]; now = end of this window (µs).
+    First call (state None): full-window splat over all `bins`.
+    Later calls: shift one bin out, add the new slice's two-bin splat.
+    Returns ((B, H, W, 2*bins) /bins*255 volume, state).
+    """
+    B, E, _ = xytp.shape
+    first = state is None
+    if first:
+        state = ev_init_state(B, height, width, bins)
+
+    x = xytp[..., 0].astype(jnp.int32)
+    y = xytp[..., 1].astype(jnp.int32)
+    t = xytp[..., 2]
+    p = xytp[..., 3].astype(jnp.int32)
+    if first:
+        t_star = bins * (t - (now - events_window)) / events_window
+        channels = bins
+    else:
+        t_star = (t - (now - events_window)) / events_window * bins
+        channels = 2
+        t_star = t_star - (bins - channels)  # position within the last 2 bins
+
+    k0 = jnp.floor(t_star).astype(jnp.int32)
+    w1 = t_star - k0
+    w0 = 1.0 - w1
+    valid = jnp.arange(E)[None, :] < n_valid[:, None]
+
+    P = height * width * channels * 2
+
+    def idx_for(k):
+        ok = valid & (k >= 0) & (k < channels)
+        c = ((y * width + x) * channels + k) * 2 + (1 - p)
+        return jnp.where(ok, c, jnp.int32(2**30))
+
+    def one(b_idx0, b_idx1, b_w0, b_w1):
+        if use_mxu:
+            img = scatter_add_mxu(
+                jnp.concatenate([b_idx0, b_idx1]),
+                jnp.concatenate([b_w0, b_w1]), P)
+        else:
+            img = jnp.zeros(P, jnp.float32)
+            img = img.at[b_idx0].add(b_w0, mode="drop")
+            img = img.at[b_idx1].add(b_w1, mode="drop")
+        return img.reshape(height, width, channels, 2)
+
+    new = jax.vmap(one)(idx_for(k0), idx_for(k0 + 1),
+                        w0 * valid, w1 * valid)
+
+    if first:
+        vol = new
+    else:
+        old = state.volume[..., 1:, :]          # drop the oldest bin
+        old = old.at[..., -1, :].add(new[..., 0, :])
+        vol = jnp.concatenate([old, new[..., 1:, :]], axis=-2)
+
+    out = vol.reshape(B, height, width, bins * 2) / bins * 255.0
+    return out, EVState(vol)
+
+
+# ---------------------------------------------------------------------------
+# Event frame
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def event_frame_stream(xytp, n_valid, state, *, height: int, width: int):
+    """Binary occupancy (sparse_ops.generate_event_frame_cuda): any event at a
+    pixel → 255 in both channels. Stateless."""
+    B, E, _ = xytp.shape
+    x = xytp[..., 0].astype(jnp.int32)
+    y = xytp[..., 1].astype(jnp.int32)
+    valid = jnp.arange(E)[None, :] < n_valid[:, None]
+    idx = jnp.where(valid, y * width + x, jnp.int32(2**30))
+
+    def one(i):
+        img = jnp.zeros(height * width, jnp.float32).at[i].add(1.0, mode="drop")
+        return jnp.where(img > 0, 255.0, 0.0).reshape(height, width)
+
+    img = jax.vmap(one)(idx)
+    return jnp.stack([img, img], axis=-1), None
+
+
+# ---------------------------------------------------------------------------
+# TAF
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("use_mxu",))
+def taf_stream_step(state, xytp, n_valid, *, use_mxu: bool = True):
+    """Batched single-bin TAF queue update; state (B, H, W, 2, K); t must be
+    pre-normalised to [0, 1] within the bin. MXU scatter by default."""
+    B, H, W, _, K = state.shape
+    E = xytp.shape[1]
+    x = xytp[..., 0].astype(jnp.int32)
+    y = xytp[..., 1].astype(jnp.int32)
+    t = xytp[..., 2]
+    p = xytp[..., 3].astype(jnp.int32)
+    valid = jnp.arange(E)[None, :] < n_valid[:, None]
+    P = H * W * 2
+    idx = jnp.where(valid, (y * W + x) * 2 + p, jnp.int32(P))
+
+    def one(i, tv, v):
+        if use_mxu:
+            cnt, tsum = scatter_cnt_tsum_mxu(i, tv, v, P)
+        else:
+            oob = jnp.where(v, i, jnp.int32(2**30))
+            cnt = jnp.zeros(P, jnp.float32).at[oob].add(1.0, mode="drop")
+            tsum = jnp.zeros(P, jnp.float32).at[oob].add(tv, mode="drop")
+        return cnt.reshape(H, W, 2), (tsum / (cnt + 1e-8)).reshape(H, W, 2)
+
+    cnt, tmean = jax.vmap(one)(idx, (t - 1.0) * valid, valid)
+    has = cnt > 0
+    shifted = jnp.concatenate([state[..., 1:] - 1.0, tmean[..., None]], -1)
+    updated = jnp.where(has[..., None], shifted, state - 1.0)
+    any_ev = jnp.any(has, axis=(1, 2, 3), keepdims=True)[..., None]
+    return jnp.where(any_ev, updated, state)
+
+
+# ---------------------------------------------------------------------------
+# SAE
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def sae_stream(xytp, n_valid, memory, now, *, height: int, width: int,
+               lamdas=(0.00001, 0.0000025, 0.000001)):
+    """Batched decayed last-timestamp surface with memory carry."""
+    from .sae import encode_sae
+
+    B = xytp.shape[0]
+    if memory is None:
+        memory = jnp.full((B, height, width, 2), now - 5_000_000.0,
+                          jnp.float32)
+    fn = partial(encode_sae, height=height, width=width, lamdas=lamdas)
+    out, memory = jax.vmap(fn, in_axes=(0, 0, 0, None))(
+        xytp, n_valid, memory, now)
+    return out, memory

@@ -23,3 +23,5 @@ from .detector import EventDetector, build_detector
 from .yolov3 import YOLOv3Detector
 from .memory import ConvLSTMCell, ConvGRUCell, MemoryModel
 from .seq_nms import seq_nms, SeqNMSState
+from .red import REDDetector
+from .detector import MemoryEventDetector

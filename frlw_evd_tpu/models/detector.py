@@ -35,6 +35,26 @@ class EventDetector(nn.Module):
         return self.head(feats, train)
 
 
+class MemoryEventDetector(nn.Module):
+    """backbone → per-level recurrent memory → neck → head (the ConvLSTM /
+    ConvGRU exp variants, reference core/exp.py:482-488 + core/model.py:30-42).
+    Functional state: __call__ takes and returns the memory carries; thread
+    them across windows with lax.scan (None carries = fresh sequence)."""
+
+    backbone: nn.Module
+    memory: nn.Module
+    neck: nn.Module
+    head: nn.Module
+
+    def __call__(self, carries, x, train: bool = False):
+        feats = self.backbone(x, train)
+        if carries is None:
+            carries = (None,) * len(feats)
+        carries, feats = self.memory(carries, feats, train)
+        feats = self.neck(feats, train)
+        return carries, self.head(feats, train)
+
+
 _STEMS = {
     "focus": Focus,
     "taf": TemporalActiveFocus,

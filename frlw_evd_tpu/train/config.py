@@ -27,8 +27,10 @@ class ExpConfig:
     clipping: bool = False
 
     # model (derived from exp_type by make_config)
-    family: str = "aed"                # aed | yolox | yolov3
+    family: str = "aed"                # aed | yolox | yolov3 | red
     stem: str = "focus"                # focus | taf | bfm
+    memory: Optional[str] = None       # None | convlstm | convgru
+    seq_nms: bool = False
     act: str = "silu"
     strides: Tuple[int, ...] = (8, 16, 32)
     in_channels: Tuple[int, ...] = (256, 256, 256)
@@ -113,6 +115,11 @@ EXP_TYPES = {
     "yolox_taf_bfm": dict(family="yolox", stem="bfm"),
     "yolov3": dict(family="yolov3", stem="focus"),
     "yolov3_taf_bfm": dict(family="yolov3", stem="bfm"),
+    # recurrent families (unwired in the reference; first-class here)
+    "red": dict(family="red", stem="focus"),
+    "convlstm": dict(family="aed", stem="focus", memory="convlstm"),
+    "recconv": dict(family="aed", stem="focus", memory="convgru"),
+    "seqnms": dict(family="aed", stem="focus", seq_nms=True),
 }
 
 

@@ -105,6 +105,64 @@ def make_yolov3_eval_step(num_classes, img_size, max_detections=200,
     return eval_step
 
 
+def make_red_train_step(num_classes, height, width, priors,
+                        half_precision=False):
+    """RED family: SSD multibox loss; fresh ConvLSTM carries per batch
+    (train_memory_steps=1, matching the reference's single-window training)."""
+    from ..models.red import red_loss
+
+    @jax.jit
+    def train_step(state: TrainState, imgs, labels, dropout_rng):
+        if half_precision:
+            imgs = imgs.astype(jnp.bfloat16)
+        B = imgs.shape[0]
+
+        def loss_fn(params):
+            model = state.apply_fn.__self__
+            carries = model.init_carries(B, height, width)
+            (carries, (cls_logits, bbox_pred)), updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                carries, imgs, True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            cls_logits = cls_logits.astype(jnp.float32)
+            bbox_pred = bbox_pred.astype(jnp.float32)
+            losses = red_loss(cls_logits, bbox_pred, labels, height, width,
+                              priors)
+            return losses["total_loss"], (losses, updates["batch_stats"])
+
+        (loss, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_bs, opt_state=new_opt), losses
+
+    return train_step
+
+
+def make_red_eval_step(num_classes, height, width, priors,
+                       half_precision=False):
+    from ..models.red import red_eval_decode
+
+    @jax.jit
+    def eval_step(state: TrainState, imgs):
+        if half_precision:
+            imgs = imgs.astype(jnp.bfloat16)
+        B = imgs.shape[0]
+        model = state.apply_fn.__self__
+        carries = model.init_carries(B, height, width)
+        carries, (cls_logits, bbox_pred) = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            carries, imgs, False)
+        decoded = red_eval_decode(cls_logits.astype(jnp.float32),
+                                  bbox_pred.astype(jnp.float32), priors,
+                                  height, width)
+        return postprocess_batch(decoded, conf_threshold=0.01,
+                                 nms_threshold=0.45, max_detections=15)
+
+    return eval_step
+
+
 def make_train_step(strides, num_classes, radius, half_precision=False):
     """Returns a jitted (state, imgs, labels, dropout_rng) → (state, metrics).
 
@@ -167,6 +225,10 @@ class Trainer:
             self.model = YOLOv3Detector(cfg.num_classes,
                                         use_bfm_stem=(cfg.stem == "bfm"),
                                         act=cfg.act)
+        elif cfg.family == "red":
+            from ..models.red import REDDetector
+
+            self.model = REDDetector(cfg.num_classes)
         else:
             self.model = build_detector(
                 cfg.num_classes, family=cfg.family, stem=cfg.stem,
@@ -224,13 +286,34 @@ class Trainer:
         tx = optax.adam(schedule)
         h, w = cfg.img_size
         sample = jnp.zeros((1, h, w, cfg.input_channels), jnp.float32)
-        self.state = create_train_state(self.model, jax.random.key(cfg.seed),
-                                        sample, tx)
+        if cfg.family == "red":
+            carries = self.model.init_carries(1, h, w)
+            variables = jax.jit(self.model.init, static_argnums=(3,))(
+                jax.random.key(cfg.seed), carries, sample, False)
+            self.state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=tx.init(variables["params"]),
+                tx=tx, apply_fn=self.model.apply)
+        else:
+            self.state = create_train_state(
+                self.model, jax.random.key(cfg.seed), sample, tx)
         if cfg.family == "yolov3":
             self.train_step = make_yolov3_train_step(
                 cfg.num_classes, cfg.img_size[0], cfg.half_precision)
             self.eval_step = make_yolov3_eval_step(
                 cfg.num_classes, cfg.img_size[0],
+                half_precision=cfg.half_precision)
+        elif cfg.family == "red":
+            from ..models.red import build_priors
+
+            h, w = cfg.img_size
+            priors = build_priors(h, w)
+            self.train_step = make_red_train_step(
+                cfg.num_classes, h, w, priors, cfg.half_precision)
+            self.eval_step = make_red_eval_step(
+                cfg.num_classes, h, w, priors,
                 half_precision=cfg.half_precision)
         else:
             self.train_step = make_train_step(cfg.strides, cfg.num_classes,

@@ -1,0 +1,276 @@
+"""Tests: MXU-matmul scatter, streaming encoders, fetcher, RED family."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from frlw_evd_tpu.encode import oracle
+from frlw_evd_tpu.encode.mxu_scatter import scatter_add_mxu, scatter_cnt_tsum_mxu
+from frlw_evd_tpu.encode.streaming import (
+    ev_init_state,
+    event_frame_stream,
+    event_volume_stream,
+    sae_stream,
+    taf_stream_step,
+)
+from frlw_evd_tpu.data.fetcher import Fetcher, FetcherTrain
+from frlw_evd_tpu.models.red import (
+    REDDetector,
+    assign_priors,
+    build_priors,
+    center_to_corner,
+    hard_negative_mining,
+    locations_to_boxes,
+    boxes_to_locations,
+    red_eval_decode,
+    red_loss,
+)
+
+H, W = 48, 64
+
+
+def make_events_batch(rng, B, E, t_lo=0.0, t_hi=1.0):
+    ev = np.zeros((B, E, 4), np.float32)
+    ev[..., 0] = rng.integers(0, W, (B, E))
+    ev[..., 1] = rng.integers(0, H, (B, E))
+    ev[..., 2] = np.sort(rng.uniform(t_lo, t_hi, (B, E)), axis=1)
+    ev[..., 3] = rng.integers(0, 2, (B, E))
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# mxu scatter
+# ---------------------------------------------------------------------------
+
+def test_mxu_scatter_matches_numpy(rng):
+    size = 2000
+    idx = rng.integers(0, size, 1500).astype(np.int32)
+    vals = rng.uniform(-2, 2, 1500).astype(np.float32)
+    out = np.asarray(scatter_add_mxu(jnp.asarray(idx), jnp.asarray(vals), size))
+    ref = np.zeros(size)
+    np.add.at(ref, idx, vals)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_mxu_cnt_tsum(rng):
+    size = 1000
+    idx = rng.integers(0, size, 700).astype(np.int32)
+    tv = rng.uniform(-1, 0, 700).astype(np.float32)
+    valid = rng.random(700) < 0.8
+    cnt, tsum = scatter_cnt_tsum_mxu(jnp.asarray(idx), jnp.asarray(tv),
+                                     jnp.asarray(valid), size)
+    cnt_ref = np.zeros(size); np.add.at(cnt_ref, idx[valid], 1.0)
+    ts_ref = np.zeros(size); np.add.at(ts_ref, idx[valid], tv[valid])
+    np.testing.assert_allclose(np.asarray(cnt), cnt_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tsum), ts_ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# streaming encoders
+# ---------------------------------------------------------------------------
+
+def test_taf_stream_matches_oracle(rng):
+    B, E, K = 2, 500, 8
+    ev = make_events_batch(rng, B, E)
+    state = jnp.full((B, H, W, 2, K), -6000.0, jnp.float32)
+    nv = jnp.full(B, E, jnp.int32)
+    for use_mxu in (False, True):
+        s = taf_stream_step(state, jnp.asarray(ev), nv, use_mxu=use_mxu)
+        for b in range(B):
+            ref = oracle.taf_bin(ev[b], (H, W), oracle.taf_init_state((H, W), K))
+            np.testing.assert_allclose(np.asarray(s[b]), ref, atol=2e-3)
+
+
+def test_event_volume_stream_first_window(rng):
+    """First call = full-window splat with the 0-based bin grid of
+    data/sparse_ops.py:17 (the streaming path deliberately differs from the
+    offline generator's 1-based grid, generate_eventvolume.py:27)."""
+    B, E = 2, 800
+    window = 50_000
+    ev = make_events_batch(rng, B, E, 0, window)
+    out, state = event_volume_stream(jnp.asarray(ev), jnp.full(B, E, jnp.int32),
+                                     None, jnp.float32(window),
+                                     height=H, width=W, bins=5,
+                                     events_window=window, use_mxu=False)
+    for b in range(B):
+        ref = np.zeros((H, W, 5, 2), np.float32)
+        t_star = 5 * ev[b, :, 2] / window
+        for k in range(5):
+            wgt = np.maximum(0.0, 1 - np.abs(k - t_star))
+            for e in range(E):
+                xi, yi, pi = int(ev[b, e, 0]), int(ev[b, e, 1]), int(ev[b, e, 3])
+                ref[yi, xi, k, 1 - pi] += wgt[e]
+        ref = ref.reshape(H, W, 10) / 5 * 255
+        np.testing.assert_allclose(np.asarray(out[b]), ref, atol=2e-2)
+
+
+def test_event_volume_stream_incremental_shifts(rng):
+    """Second call shifts one bin: channel c of new vol = channel c+2 of a
+    full recompute is NOT exact (incremental accumulates), but the oldest bin
+    must drop and shapes stay put."""
+    B, E = 1, 400
+    window, infer = 50_000, 10_000
+    ev0 = make_events_batch(rng, B, E, 0, window)
+    out0, st = event_volume_stream(jnp.asarray(ev0), jnp.full(B, E, jnp.int32),
+                                   None, jnp.float32(window), height=H,
+                                   width=W, events_window=window,
+                                   infer_time=infer, use_mxu=False)
+    ev1 = make_events_batch(rng, B, E, window, window + infer)
+    out1, st1 = event_volume_stream(jnp.asarray(ev1), jnp.full(B, E, jnp.int32),
+                                    st, jnp.float32(window + infer), height=H,
+                                    width=W, events_window=window,
+                                    infer_time=infer, use_mxu=False)
+    assert out1.shape == (B, H, W, 10)
+    assert np.isfinite(np.asarray(out1)).all()
+
+
+def test_event_frame_stream(rng):
+    B, E = 2, 300
+    ev = make_events_batch(rng, B, E)
+    out, _ = event_frame_stream(jnp.asarray(ev), jnp.full(B, E, jnp.int32),
+                                None, height=H, width=W)
+    assert out.shape == (B, H, W, 2)
+    vals = np.unique(np.asarray(out))
+    assert set(vals).issubset({0.0, 255.0})
+    np.testing.assert_array_equal(np.asarray(out[..., 0]),
+                                  np.asarray(out[..., 1]))
+
+
+def test_sae_stream(rng):
+    B, E = 2, 300
+    now = 100_000.0
+    ev = make_events_batch(rng, B, E, 0, now)
+    out, mem = sae_stream(jnp.asarray(ev), jnp.full(B, E, jnp.int32), None,
+                          jnp.float32(now), height=H, width=W)
+    assert out.shape == (B, H, W, 6)
+    assert mem.shape == (B, H, W, 2)
+    ref, _ = oracle.sae(ev[0], (H, W), [1e-5, 2.5e-6, 1e-6], None, now)
+    np.testing.assert_allclose(np.asarray(out[0]).transpose(2, 0, 1), ref,
+                               rtol=1e-3, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# fetcher
+# ---------------------------------------------------------------------------
+
+def test_fetcher_windows(rng):
+    B, n = 1, 2000
+    duration = 100_000
+    events = np.zeros((n, 5), np.float32)
+    events[:, 0] = 0
+    events[:, 1] = rng.integers(0, W, n)
+    events[:, 2] = rng.integers(0, H, n)
+    events[:, 3] = np.sort(rng.integers(0, duration, n))
+    events[:, 4] = rng.integers(0, 2, n)
+    # labels: [batch, cx, cy, w, h, cls, t] — on-window timestamps (the
+    # ±(infer_time/2 - 1) tolerance misses mid-window labels by design)
+    labels = np.array([[0, 30, 20, 10, 10, 1, 60_000],
+                       [0, 40, 25, 12, 12, 0, 70_000]], np.float32)
+    timestamps = np.array([[0, duration]])
+
+    captured = []
+
+    def to_volume(ev, n_valid, state):
+        captured.append((ev.copy(), n_valid))
+        return np.zeros((1, H, W, 2)), state
+
+    f = Fetcher(events, (H, W), labels, timestamps, ["s0"],
+                events_window=50_000, event_volume_bins=5, infer_time=10_000,
+                to_volume=to_volume, max_events=4096)
+    # first window covers [0, 50ms): no label at 50ms ± 4999? 55_000 > 50_000+4999
+    vol, lab, ts, names, rt = f.fetch()
+    assert ts[0] == 50_000 and lab is None
+    vol, lab, ts, names, rt = f.fetch()
+    assert ts[0] == 60_000
+    assert lab is not None and (lab[0].sum(1) > 0).sum() == 1  # label at 60k
+    # window events: [50k, 60k)
+    ev, nv = captured[1]
+    tvals = ev[:nv, 3]
+    assert (tvals >= 50_000).all() and (tvals < 60_000).all()
+    # run to the end
+    while not f.finish:
+        f.fetch()
+    assert f.iter >= duration
+
+
+def test_fetcher_train_label_order(rng):
+    events = np.zeros((10, 5), np.float32)
+    events[:, 3] = np.arange(10) * 1000
+    labels = np.array([[0, 30, 20, 10, 10, 1, 10_000]], np.float32)
+    timestamps = np.array([[0, 20_000]])
+    f = FetcherTrain(events, (H, W), labels, timestamps, ["s0"],
+                     events_window=10_000, event_volume_bins=5,
+                     infer_time=10_000,
+                     to_volume=lambda e, n, s: (None, s), max_events=64)
+    vol, lab, ts, names, rt = f.fetch()
+    # train rows: [class, cx, cy, w, h]
+    np.testing.assert_allclose(lab[0, 0], [1, 30, 20, 10, 10])
+
+
+# ---------------------------------------------------------------------------
+# RED
+# ---------------------------------------------------------------------------
+
+def test_priors_shape_and_range():
+    from frlw_evd_tpu.models.red import pyramid_shapes
+    priors = build_priors(256, 320)
+    assert priors.shape[1] == 4
+    assert (priors >= 0).all() and (priors <= 1).all()
+    # boxes_per_location [6,6,6,4,4] over the actual pyramid maps
+    maps = pyramid_shapes(256, 320)
+    expected = sum(y * x * b for (y, x), b in zip(maps, (6, 6, 6, 4, 4)))
+    assert priors.shape[0] == expected
+
+
+def test_location_coding_roundtrip(rng):
+    priors = jnp.asarray(build_priors(256, 320)[:50])
+    boxes = priors * jnp.asarray([1.1, 0.9, 1.2, 0.8])
+    locs = boxes_to_locations(boxes, priors)
+    rec = locations_to_boxes(locs, priors)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(boxes), atol=1e-5)
+
+
+def test_assign_priors_forces_best():
+    priors_corner = center_to_corner(jnp.asarray(
+        [[0.5, 0.5, 0.2, 0.2], [0.1, 0.1, 0.05, 0.05]]))
+    gt = center_to_corner(jnp.asarray([[0.52, 0.52, 0.2, 0.2]]))
+    boxes, labels = assign_priors(gt, jnp.asarray([1]), jnp.asarray([True]),
+                                  priors_corner)
+    assert int(labels[0]) == 1       # best prior forced positive
+    assert int(labels[1]) == 0       # background
+
+
+def test_hard_negative_mining():
+    loss = jnp.asarray([[0.9, 0.8, 0.7, 0.6, 0.5, 0.4]])
+    labels = jnp.asarray([[1, 0, 0, 0, 0, 0]])
+    mask = hard_negative_mining(loss, labels, 3)
+    # 1 positive → 3 negatives with the highest bg loss
+    np.testing.assert_array_equal(np.asarray(mask[0]),
+                                  [True, True, True, True, False, False])
+
+
+def test_red_forward_and_loss(rng):
+    model = REDDetector(2)
+    h, w = 128, 128
+    x = jnp.asarray(rng.uniform(0, 1, (1, h, w, 10)).astype(np.float32))
+    carries = model.init_carries(1, h, w)
+    variables = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.key(0), carries, x, False)
+    carries, (cls_logits, bbox_pred) = jax.jit(
+        lambda v, c, x: model.apply(v, c, x, False))(variables, carries, x)
+    priors = build_priors(h, w)
+    assert cls_logits.shape == (1, priors.shape[0], 3)
+    assert bbox_pred.shape == (1, priors.shape[0], 4)
+
+    labels = np.zeros((1, 80, 5), np.float32)
+    labels[0, 0] = [0, 60, 60, 40, 40]
+    losses = jax.jit(lambda c, b, l: red_loss(c, b, l, h, w, priors))(
+        cls_logits, bbox_pred, jnp.asarray(labels))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    dec = jax.jit(lambda c, b: red_eval_decode(c, b, priors, h, w))(
+        cls_logits, bbox_pred)
+    assert dec.shape == (1, priors.shape[0], 7)
