@@ -27,7 +27,7 @@ def get_activation(name: str = "silu") -> Callable:
 
 
 class BaseConv(nn.Module):
-    """Conv2d → BatchNorm → activation (network_blocks.py:33)."""
+    """Conv2d → BatchNorm → (dropout) → activation (network_blocks.py:33)."""
 
     out_channels: int
     ksize: int
@@ -35,6 +35,7 @@ class BaseConv(nn.Module):
     groups: int = 1
     use_bias: bool = False
     act: str = "silu"
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -54,6 +55,8 @@ class BaseConv(nn.Module):
             epsilon=1e-5,
             name="bn",
         )(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return get_activation(self.act)(x)
 
 

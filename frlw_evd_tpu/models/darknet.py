@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -125,4 +126,69 @@ class CSPDarknet(nn.Module):
                      depthwise=self.depthwise, act=self.act,
                      name="dark5_csp")(x, train)
         outputs["dark5"] = x
+        return [outputs[k] for k in self.out_features]
+
+
+class SEAttention(nn.Module):
+    """Squeeze-excite channel gate + 1x1 projection (darknet.py:119-154).
+
+    The reference's forward references a `self.conv` that its __init__ never
+    creates (commented out), so SwinDarknet is unrunnable as committed; here
+    the gate operates on the input directly — the evident intent.
+    """
+
+    out_channels: int
+    reduction: int = 16
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2))                      # (N, C)
+        y = nn.Dense(c // self.reduction, use_bias=False, name="fc1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Dense(c, use_bias=False, name="fc2")(y)
+        y = jax.nn.sigmoid(y)[:, None, None, :]
+        return BaseConv(self.out_channels, 1, 1, act=self.act,
+                        name="conv2")(x * y, train)
+
+
+class SwinDarknet(nn.Module):
+    """Darknet-21/53 with a parallel Temporal_Active_Focus_3D stem2 fused by
+    squeeze-excite (darknet.py:157-268); selectable via the experimental
+    tafSyn exp class in the reference (commented at core/exp.py:478-480)."""
+
+    depth: int = 21
+    stem: Any = Focus
+    stem_out_channels: int = 64
+    out_channels: Sequence[int] = (256, 256, 256)
+    out_features: Sequence[str] = ("dark3", "dark4", "dark5")
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .stems import TemporalActiveFocus3D
+
+        blocks = DEPTH2BLOCKS[self.depth]
+        base = self.stem_out_channels
+        outputs = {}
+        h1 = self.stem(base, ksize=3, act=self.act, name="stem")(x, train)
+        h2 = TemporalActiveFocus3D(base, act=self.act, name="stem2")(x, train)
+        h = jnp.concatenate([h1, h2], axis=-1)
+        h = SEAttention(base * 2, reduction=4, act=self.act, name="se")(h, train)
+        outputs["stem"] = h
+        # NB reference SwinDarknet narrows dark2 to `base` channels (:204-206)
+        h = _GroupLayer(base, blocks[0], act=self.act, name="dark2")(h, train)
+        outputs["dark2"] = h
+        h = _GroupLayer(self.out_channels[0], blocks[1], act=self.act,
+                        name="dark3")(h, train)
+        outputs["dark3"] = h
+        h = _GroupLayer(self.out_channels[1], blocks[2], act=self.act,
+                        name="dark4")(h, train)
+        outputs["dark4"] = h
+        h = _GroupLayer(self.out_channels[2], blocks[3], act=self.act,
+                        name="dark5_group")(h, train)
+        h = _SPPBlock([self.out_channels[2], self.out_channels[2]],
+                      act=self.act, name="dark5_spp")(h, train)
+        outputs["dark5"] = h
         return [outputs[k] for k in self.out_features]

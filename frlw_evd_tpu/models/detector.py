@@ -55,10 +55,28 @@ class MemoryEventDetector(nn.Module):
         return carries, self.head(feats, train)
 
 
+def _swin_stem(*args, **kwargs):
+    from .swin3d import TemporalActiveFocusSwin
+    return TemporalActiveFocusSwin(*args, **kwargs)
+
+
+def _corr_stem(*args, **kwargs):
+    from .swin3d import TemporalActiveFocusCorr
+    return TemporalActiveFocusCorr(*args, **kwargs)
+
+
+def _taf3d_stem(*args, **kwargs):
+    from .stems import TemporalActiveFocus3D
+    return TemporalActiveFocus3D(*args, **kwargs)
+
+
 _STEMS = {
     "focus": Focus,
     "taf": TemporalActiveFocus,
     "bfm": BinsFusionModule,
+    "taf_swin": _swin_stem,
+    "taf_corr": _corr_stem,
+    "taf_3d": _taf3d_stem,
 }
 
 
@@ -79,6 +97,13 @@ def build_detector(num_classes: int, *, family: str = "aed",
         backbone = Darknet(depth=21, stem=stem_cls,
                            stem_out_channels=stem_out_channels,
                            out_channels=tuple(in_channels), act=act)
+        neck = YOLOPAFPN(depth=depth, in_channels=tuple(in_channels), act=act)
+    elif family == "swin_darknet":
+        from .darknet import SwinDarknet
+
+        backbone = SwinDarknet(depth=21, stem=stem_cls,
+                               stem_out_channels=stem_out_channels,
+                               out_channels=tuple(in_channels), act=act)
         neck = YOLOPAFPN(depth=depth, in_channels=tuple(in_channels), act=act)
     elif family == "yolox":
         in_channels = (128, 256, 512)

@@ -114,3 +114,41 @@ class TemporalActiveFocus(nn.Module):
         h = space_to_depth_patches(h)
         return BaseConv(self.out_channels, self.ksize, 1, act=self.act,
                         name="conv")(h, train)
+
+
+class TemporalActiveFocus3D(nn.Module):
+    """Temporal_Active_Focus_3D stem (reference Temporal_Active_Focus.py:339):
+    a cascade of grouped 3x3 BaseConvs — the first at stride 2 — halving the
+    number of time groups each step, collecting the first `embed_dim` channels
+    per level, fused by a 1x1 BaseConv with dropout 0.25. Used as SwinDarknet's
+    parallel stem2."""
+
+    out_channels: int
+    ksize: int = 3
+    act: str = "silu"
+    embed_dim: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from math import log2
+
+        from .blocks import BaseConv
+
+        in_channels = x.shape[-1]
+        time_channels = in_channels // 2
+        reduce_times = int(log2(time_channels))
+        ed = self.embed_dim
+
+        h = BaseConv(int(time_channels / 2 * ed), 3, 2,
+                     groups=time_channels // 2, use_bias=True, act=self.act,
+                     name="convs_0")(x, train)
+        outs = [h[..., :ed]]
+        for i in range(1, reduce_times):
+            h = BaseConv(int(time_channels / (2 ** (i + 1)) * ed), 3, 1,
+                         groups=int(time_channels / (2 ** (i + 1))),
+                         use_bias=True, act=self.act,
+                         name=f"convs_{i}")(h, train)
+            outs.append(h[..., :ed])
+        h = jnp.concatenate(outs, axis=-1)
+        return BaseConv(self.out_channels, 1, 1, act=self.act, dropout=0.25,
+                        name="conv2")(h, train)

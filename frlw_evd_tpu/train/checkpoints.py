@@ -68,8 +68,10 @@ def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:
 # ---------------------------------------------------------------------------
 
 def _convert_tensor(name: str, array: np.ndarray) -> np.ndarray:
-    """torch layout → flax layout. Conv weights OIHW → HWIO; depthwise convs
-    (O, 1, H, W) → (H, W, 1, O); linear (O, I) → (I, O)."""
+    """torch layout → flax layout. Conv weights OIHW → HWIO; linear (O, I) →
+    (I, O); weight-norm g (O, 1, 1, 1) → (O,)."""
+    if name.endswith("weight_g"):
+        return array.reshape(-1)
     if array.ndim == 4:
         return np.transpose(array, (2, 3, 1, 0))
     if array.ndim == 2:
@@ -77,26 +79,6 @@ def _convert_tensor(name: str, array: np.ndarray) -> np.ndarray:
     return array
 
 
-def _torch_key_to_flax_path(key: str):
-    """Map a reference state_dict key to a flax param path.
-
-    Reference model is wrapped as `module.backbone/neck/head....`. Flax module
-    names were chosen to mirror the torch attribute names, so the mapping is
-    mostly mechanical:
-      conv.weight → conv/kernel, bn.weight/bias/running_* → bn/...
-      nn.Sequential indices i → the matching named submodule (dark2.0 → conv,
-      dark2.k>0 → res_{k-1}; csp m.i → m_{i}; head lists cls_convs.k.j →
-      cls_convs_{k}_{j}).
-    """
-    key = key.removeprefix("module.")
-    parts = key.split(".")
-    out = []
-    i = 0
-    while i < len(parts):
-        p = parts[i]
-        out.append(p)
-        i += 1
-    return out
 
 
 _BN_MAP = {
@@ -146,8 +128,39 @@ def import_torch_checkpoint(pth_path: str, params, batch_stats,
     return _unflatten(flat_params, params), _unflatten(flat_bs, batch_stats), report
 
 
-def default_rename(torch_key: str):
-    """Default key mapping for the AED detector naming scheme."""
+_DEPTH2BLOCKS = {21: [1, 2, 2, 1], 53: [2, 8, 8, 4]}
+
+
+def _map_sequential(module: str, idx: int, depth: int = 21):
+    """Reference nn.Sequential index → our named submodule.
+
+    dark2..dark4: [BaseConv, ResLayer*n] → conv / res_{i-1}.
+    dark5: [BaseConv, ResLayer*n, conv1, conv2, SPP, conv3, conv4]
+      → (dark5_group, conv/res_{i}) then (dark5_spp, conv1..4/spp).
+    """
+    blocks = dict(zip(["dark2", "dark3", "dark4", "dark5"],
+                      _DEPTH2BLOCKS[depth]))
+    if module in ("dark2", "dark3", "dark4"):
+        return (module, "conv") if idx == 0 else (module, f"res_{idx - 1}")
+    if module == "dark5":
+        n = blocks["dark5"]
+        if idx == 0:
+            return ("dark5_group", "conv")
+        if idx <= n:
+            return ("dark5_group", f"res_{idx - 1}")
+        spp_names = ["conv1", "conv2", "spp", "conv3", "conv4"]
+        return ("dark5_spp", spp_names[idx - n - 1])
+    return (module, str(idx))
+
+
+def default_rename(torch_key: str, depth: int = 21):
+    """Reference AED state_dict key → (collection, flax path tuple).
+
+    Handles: Focus/BFM stems (incl. weight_norm weight_g/weight_v), the
+    Darknet Sequential groups, CSP m.<i> lists, PAFPN names (1:1), and the
+    head's stems/cls_convs/reg_convs/{cls,reg,obj}_preds ModuleLists.
+    Returns None for keys without a flax counterpart (num_batches_tracked).
+    """
     key = torch_key.removeprefix("module.")
     parts = key.split(".")
     leaf = parts[-1]
@@ -156,15 +169,51 @@ def default_rename(torch_key: str):
     if leaf == "num_batches_tracked":
         return None
 
-    # BN vs conv leaf naming
+    out = []
+    i = 0
+    while i < len(body):
+        p = body[i]
+        # darknet sequential groups
+        if p in ("dark2", "dark3", "dark4", "dark5") and i + 1 < len(body)                 and body[i + 1].isdigit():
+            mod, sub = _map_sequential(p, int(body[i + 1]), depth)
+            out.extend([mod, sub])
+            i += 2
+            continue
+        # CSP bottleneck list m.<i> → m_<i>
+        if p == "m" and i + 1 < len(body) and body[i + 1].isdigit():
+            out.append(f"m_{body[i + 1]}")
+            i += 2
+            continue
+        # head ModuleLists: stems.0 → stems_0; cls_convs.0.1 → cls_convs_0_1
+        if p in ("stems", "cls_preds", "reg_preds", "obj_preds")                 and i + 1 < len(body) and body[i + 1].isdigit():
+            out.append(f"{p}_{body[i + 1]}")
+            i += 2
+            continue
+        if p in ("cls_convs", "reg_convs") and i + 2 < len(body)                 and body[i + 1].isdigit() and body[i + 2].isdigit():
+            out.append(f"{p}_{body[i + 1]}_{body[i + 2]}")
+            i += 3
+            continue
+        # BFM weight-norm conv list convs.<i> → convs_<i>
+        if p == "convs" and i + 1 < len(body) and body[i + 1].isdigit():
+            out.append(f"convs_{body[i + 1]}")
+            i += 2
+            continue
+        out.append(p)
+        i += 1
+
+    # leaves
     if body and body[-1] == "bn":
         name, coll = _BN_MAP[leaf]
         if name is None:
             return None
-        return (coll, tuple(body) + (name,))
+        return (coll, tuple(out) + (name,))
+    if leaf == "weight_g":
+        return ("params", tuple(out) + ("g",))
+    if leaf == "weight_v":
+        return ("params", tuple(out) + ("v",))
     if leaf == "weight":
         leaf = "kernel"
-    return ("params", tuple(body) + (leaf,))
+    return ("params", tuple(out) + (leaf,))
 
 
 def _flatten(tree, prefix=()):

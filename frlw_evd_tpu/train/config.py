@@ -102,7 +102,8 @@ class ExpConfig:
     @property
     def uses_taf_dataset(self) -> bool:
         return self.exp_type in ("taf", "taf_bfm", "yolov3_taf_bfm",
-                                 "yolox_taf_bfm")
+                                 "yolox_taf_bfm", "taf_swin", "taf_corr",
+                                 "taf_syn")
 
 
 # exp-type → (family, stem, uses_taf_dataset) — README table :106-142,
@@ -120,6 +121,10 @@ EXP_TYPES = {
     "convlstm": dict(family="aed", stem="focus", memory="convlstm"),
     "recconv": dict(family="aed", stem="focus", memory="convgru"),
     "seqnms": dict(family="aed", stem="focus", seq_nms=True),
+    # experimental TAF stems (commented exp classes in the reference)
+    "taf_swin": dict(family="aed", stem="taf_swin"),
+    "taf_corr": dict(family="aed", stem="taf_corr"),
+    "taf_syn": dict(family="swin_darknet", stem="focus"),
 }
 
 

@@ -1,0 +1,35 @@
+"""Pallas scatter kernel correctness (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_pallas_scatter_matches_numpy(rng, monkeypatch):
+    from jax.experimental import pallas as pl
+    from frlw_evd_tpu.encode import pallas_scatter
+
+    # run the kernel in interpreter mode (no TPU in the test env)
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_scatter.pl, "pallas_call", interp_call)
+
+    B, E, size = 2, 2048, 5000
+    idx = rng.integers(0, size, (B, E)).astype(np.int32)
+    tv = rng.uniform(-1, 0, (B, E)).astype(np.float32)
+    valid = rng.random((B, E)) < 0.9
+    cnt, tsum = pallas_scatter.scatter_cnt_tsum_pallas(
+        jnp.asarray(idx), jnp.asarray(tv), jnp.asarray(valid), size)
+    for b in range(B):
+        cref = np.zeros(size)
+        np.add.at(cref, idx[b][valid[b]], 1.0)
+        tref = np.zeros(size)
+        np.add.at(tref, idx[b][valid[b]], tv[b][valid[b]])
+        np.testing.assert_allclose(np.asarray(cnt[b]), cref, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tsum[b]), tref, atol=1e-3)
