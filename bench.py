@@ -40,20 +40,31 @@ from frlw_evd_tpu.models import build_detector
 from frlw_evd_tpu.models.detector import eval_decode
 from frlw_evd_tpu.models.postprocess import postprocess_batch
 
-SENSOR_HW = (240, 304)
-INPUT_HW = (256, 320)
+CONFIGS = {
+    # flagship: GEN1 AED + TAF-K8 streaming (the mAP-parity recipe)
+    "gen1_taf": dict(sensor_hw=(240, 304), input_hw=(256, 320), batch=64,
+                     events_per_bin=16384,
+                     metric="gen1_aed_taf8_encode_detect_throughput"),
+    # 1MEGAPIXEL: the reference scales event coordinates and encodes gen4 at
+    # the 512x640 target resolution (generate_taf.py:216-219) — the state
+    # grid never exists at 720x1280
+    "gen4_taf": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=16,
+                     events_per_bin=65536,
+                     metric="gen4_aed_taf8_encode_detect_throughput"),
+}
+
 K = 8
-BATCH = 64            # parallel streams
-EVENTS_PER_BIN = 16384
 STEPS_PER_CALL = 10   # distinct synthetic event batches cycled over
 
 
-def make_pipeline(model, variables):
-    h, w = SENSOR_HW
+def make_pipeline(model, variables, sensor_hw, input_hw, use_mxu=True):
+    h, w = sensor_hw
 
     def one_window(state, xytp, n_valid):
-        # state: (B, H, W, 2, K); xytp: (B, E, 4); MXU-matmul scatter
-        state = taf_stream_step(state, xytp, n_valid, use_mxu=True)
+        # state: (B, H, W, 2, K); MXU-matmul scatter for small grids (GEN1),
+        # XLA scatter for the 2.6x-larger gen4 grid where the one-hot matmul
+        # cost (∝ E·P) overtakes the serial scatter (∝ E)
+        state = taf_stream_step(state, xytp, n_valid, use_mxu=use_mxu)
         vol = jax.vmap(_state_to_input)(state)
         outs = model.apply(variables, vol.astype(jnp.bfloat16), False)
         outs = [o.astype(jnp.float32) for o in outs]
@@ -66,8 +77,8 @@ def make_pipeline(model, variables):
         vol = state[..., ::-1]
         vol = jnp.swapaxes(vol, 2, 3).reshape(h, w, 2 * K)
         vol = leaky_transform(vol) / 255.0
-        ys = (jnp.arange(INPUT_HW[0]) * (h / INPUT_HW[0])).astype(jnp.int32)
-        xs = (jnp.arange(INPUT_HW[1]) * (w / INPUT_HW[1])).astype(jnp.int32)
+        ys = (jnp.arange(input_hw[0]) * (h / input_hw[0])).astype(jnp.int32)
+        xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(jnp.int32)
         return vol[ys[:, None], xs[None, :], :]
 
     @jax.jit
@@ -80,8 +91,8 @@ def make_pipeline(model, variables):
     return run_step
 
 
-def synth_events(rng, steps, batch, e_per_bin):
-    h, w = SENSOR_HW
+def synth_events(rng, steps, batch, e_per_bin, sensor_hw):
+    h, w = sensor_hw
     ev = np.zeros((steps, batch, e_per_bin, 4), np.float32)
     ev[..., 0] = rng.integers(0, w, ev.shape[:-1])
     ev[..., 1] = rng.integers(0, h, ev.shape[:-1])
@@ -92,9 +103,19 @@ def synth_events(rng, steps, batch, e_per_bin):
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="gen1_taf", choices=CONFIGS)
+    args = parser.parse_args()
+    cfg = CONFIGS[args.config]
+    sensor_hw, input_hw = cfg["sensor_hw"], cfg["input_hw"]
+    BATCH, EVENTS_PER_BIN = cfg["batch"], cfg["events_per_bin"]
+    nc = 2 if args.config.startswith("gen1") else 7
+
     rng = np.random.default_rng(0)
-    model = build_detector(2, family="aed", stem="bfm")
-    sample = jnp.zeros((BATCH, INPUT_HW[0], INPUT_HW[1], 2 * K), jnp.bfloat16)
+    model = build_detector(nc, family="aed", stem="bfm")
+    sample = jnp.zeros((BATCH, input_hw[0], input_hw[1], 2 * K), jnp.bfloat16)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.key(0), sample, False)
     # inference in bf16 end-to-end: avoids per-layer f32<->bf16 conversions
@@ -102,10 +123,12 @@ def main():
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         variables)
 
-    run_step = make_pipeline(model, variables)
-    h, w = SENSOR_HW
+    run_step = make_pipeline(model, variables, sensor_hw, input_hw,
+                             cfg.get("use_mxu", True))
+    h, w = sensor_hw
     state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
-    events, n_valid = synth_events(rng, STEPS_PER_CALL, BATCH, EVENTS_PER_BIN)
+    events, n_valid = synth_events(rng, STEPS_PER_CALL, BATCH,
+                                   EVENTS_PER_BIN, sensor_hw)
 
     # warmup / compile; force a host read — block_until_ready alone is not a
     # reliable fence on this experimental platform
@@ -128,7 +151,7 @@ def main():
           f"{BATCH}-stream window batch", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "gen1_aed_taf8_encode_detect_throughput",
+        "metric": cfg["metric"],
         "value": round(wps, 1),
         "unit": "windows/s/chip",
         "vs_baseline": round(wps / 100.0, 2),

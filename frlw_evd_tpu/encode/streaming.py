@@ -135,16 +135,23 @@ def event_frame_stream(xytp, n_valid, state, *, height: int, width: int):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("use_mxu",))
-def taf_stream_step(state, xytp, n_valid, *, use_mxu: bool = True):
+def taf_stream_step(state, xytp, n_valid, any_events=None, *,
+                    use_mxu: bool = True):
     """Batched single-bin TAF queue update; state (B, H, W, 2, K); t must be
-    pre-normalised to [0, 1] within the bin. MXU scatter by default."""
+    pre-normalised to [0, 1] within the bin. MXU scatter by default.
+
+    any_events: optional (B,) bool override for the empty-bin freeze check —
+    spatially-sharded callers pass the GLOBAL flag so a shard that happens to
+    receive no events still ages with the rest of the frame."""
     B, H, W, _, K = state.shape
     E = xytp.shape[1]
     x = xytp[..., 0].astype(jnp.int32)
     y = xytp[..., 1].astype(jnp.int32)
     t = xytp[..., 2]
     p = xytp[..., 3].astype(jnp.int32)
-    valid = jnp.arange(E)[None, :] < n_valid[:, None]
+    # NB: negative coordinates must be dropped explicitly — jax .at[] wraps
+    # negative indices numpy-style BEFORE the mode="drop" bounds check
+    valid = (jnp.arange(E)[None, :] < n_valid[:, None])         & (x >= 0) & (x < W) & (y >= 0) & (y < H) & (p >= 0) & (p < 2)
     P = H * W * 2
     idx = jnp.where(valid, (y * W + x) * 2 + p, jnp.int32(P))
 
@@ -161,7 +168,10 @@ def taf_stream_step(state, xytp, n_valid, *, use_mxu: bool = True):
     has = cnt > 0
     shifted = jnp.concatenate([state[..., 1:] - 1.0, tmean[..., None]], -1)
     updated = jnp.where(has[..., None], shifted, state - 1.0)
-    any_ev = jnp.any(has, axis=(1, 2, 3), keepdims=True)[..., None]
+    if any_events is None:
+        any_ev = jnp.any(has, axis=(1, 2, 3), keepdims=True)[..., None]
+    else:
+        any_ev = any_events[:, None, None, None, None]
     return jnp.where(any_ev, updated, state)
 
 

@@ -1,0 +1,65 @@
+"""Spatial sharding of encoder state grids — the context-parallelism analog
+for event streams (SURVEY.md §5: scatter keys are spatially local, so the
+(H, W) state grid shards halo-free across the mesh).
+
+At 1 Mpx (720×1280×2×K float32 ≈ 15 MB/stream just for the TAF queue), a
+single chip runs out of headroom quickly at large batch; sharding the H axis
+over the mesh splits both the queue state and the scatter work. Events are
+cheap to replicate (a few MB); each shard drops events outside its row range
+via the encoder's OOB-drop path, so no communication happens inside the
+encode step at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_taf_state(mesh: Mesh, state: jnp.ndarray,
+                    axis: str = "data") -> jnp.ndarray:
+    """Place a (B, H, W, 2, K) queue with H sharded over `axis`."""
+    return jax.device_put(state, NamedSharding(mesh, P(None, axis)))
+
+
+def make_spatial_taf_step(mesh: Mesh, height: int, axis: str = "data",
+                          use_mxu: bool = True):
+    """Returns a jitted (state_sharded, events_replicated, n_valid) → state
+    step where each mesh shard updates its own H-slice of the queue.
+
+    Events carry GLOBAL y coordinates; each shard rebases y into its local
+    range and lets the scatter's OOB drop discard foreign events — halo-free,
+    zero collectives.
+    """
+    from ..encode.streaming import taf_stream_step
+
+    n_shards = mesh.shape[axis]
+    local_h = height // n_shards
+
+    def local_step(state, xytp, n_valid):
+        # state: (B, local_h, W, 2, K); xytp: (B, E, 4) with global y
+        shard = jax.lax.axis_index(axis)
+        y0 = shard * local_h
+        local = xytp.at[..., 1].add(-y0)
+        # the empty-bin freeze must be a GLOBAL decision; events are
+        # replicated, so every shard can evaluate it without a collective
+        E = xytp.shape[1]
+        valid = jnp.arange(E)[None, :] < n_valid[:, None]
+        any_global = jnp.any(valid & (xytp[..., 1] >= 0)
+                             & (xytp[..., 1] < height), axis=1)
+        # foreign events fall outside [0, local_h) and are dropped by the
+        # encoder's bounds check (coordinates left as-is: negative or >= H)
+        return taf_stream_step(state, local, n_valid, any_global,
+                               use_mxu=use_mxu)
+
+    from jax.experimental.shard_map import shard_map
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, axis), P(), P()),
+        out_specs=P(None, axis),
+        check_rep=False)
+    return jax.jit(step)

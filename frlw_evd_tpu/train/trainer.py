@@ -163,6 +163,50 @@ def make_red_eval_step(num_classes, height, width, priors,
     return eval_step
 
 
+def make_memory_train_step(strides, num_classes, radius,
+                           half_precision=False):
+    """ConvLSTM/ConvGRU memory exp types: fresh carries per batch
+    (train_memory_steps=1, reference core/exp.py:482-488 + settings.py:45)."""
+
+    @jax.jit
+    def train_step(state: TrainState, imgs, labels, dropout_rng):
+        if half_precision:
+            imgs = imgs.astype(jnp.bfloat16)
+
+        def loss_fn(params):
+            (carries, outs), updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                None, imgs, True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            outs = [o.astype(jnp.float32) for o in outs]
+            losses = detector_loss(outs, labels, strides, num_classes, radius)
+            return losses["total_loss"], (losses, updates["batch_stats"])
+
+        (loss, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_bs, opt_state=new_opt), losses
+
+    return train_step
+
+
+def make_memory_eval_step(strides, max_detections=200, half_precision=False):
+    @jax.jit
+    def eval_step(state: TrainState, imgs):
+        if half_precision:
+            imgs = imgs.astype(jnp.bfloat16)
+        carries, outs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            None, imgs, False)
+        outs = [o.astype(jnp.float32) for o in outs]
+        decoded = eval_decode(outs, strides)
+        return postprocess_batch(decoded, max_detections=max_detections)
+
+    return eval_step
+
+
 def make_train_step(strides, num_classes, radius, half_precision=False):
     """Returns a jitted (state, imgs, labels, dropout_rng) → (state, metrics).
 
@@ -229,6 +273,25 @@ class Trainer:
             from ..models.red import REDDetector
 
             self.model = REDDetector(cfg.num_classes)
+        elif cfg.memory:
+            from ..models.detector import MemoryEventDetector, _STEMS
+            from ..models.darknet import Darknet
+            from ..models.heads import YOLOXHead
+            from ..models.memory import MemoryModel
+            from ..models.pafpn import YOLOPAFPN
+
+            self.model = MemoryEventDetector(
+                backbone=Darknet(depth=21, stem=_STEMS[cfg.stem],
+                                 out_channels=tuple(cfg.in_channels),
+                                 act=cfg.act),
+                memory=MemoryModel(
+                    cell_type=cfg.memory, hidden_dims=tuple(cfg.in_channels),
+                    act="relu"),
+                neck=YOLOPAFPN(depth=cfg.depth,
+                               in_channels=tuple(cfg.in_channels),
+                               act=cfg.act),
+                head=YOLOXHead(num_classes=cfg.num_classes,
+                               strides=tuple(cfg.strides), act=cfg.act))
         else:
             self.model = build_detector(
                 cfg.num_classes, family=cfg.family, stem=cfg.stem,
@@ -286,8 +349,9 @@ class Trainer:
         tx = optax.adam(schedule)
         h, w = cfg.img_size
         sample = jnp.zeros((1, h, w, cfg.input_channels), jnp.float32)
-        if cfg.family == "red":
-            carries = self.model.init_carries(1, h, w)
+        if cfg.family == "red" or cfg.memory:
+            carries = (self.model.init_carries(1, h, w)
+                       if cfg.family == "red" else None)
             variables = jax.jit(self.model.init, static_argnums=(3,))(
                 jax.random.key(cfg.seed), carries, sample, False)
             self.state = TrainState(
@@ -315,6 +379,12 @@ class Trainer:
             self.eval_step = make_red_eval_step(
                 cfg.num_classes, h, w, priors,
                 half_precision=cfg.half_precision)
+        elif cfg.memory:
+            self.train_step = make_memory_train_step(
+                cfg.strides, cfg.num_classes, cfg.center_radius,
+                cfg.half_precision)
+            self.eval_step = make_memory_eval_step(
+                cfg.strides, half_precision=cfg.half_precision)
         else:
             self.train_step = make_train_step(cfg.strides, cfg.num_classes,
                                               cfg.center_radius,
@@ -354,12 +424,28 @@ class Trainer:
 
     def eval_epoch(self, evaluator: Evaluator):
         cfg = self.cfg
+        seq_state = None
+        seq_stream = None
+        if cfg.seq_nms:
+            from ..models.seq_nms import SeqNMSState
+
+            seq_state = SeqNMSState()
         for imgs, labels, names, tss in self.val_loader:
             start = time.time()
             dets, keep = self.eval_step(self.state, jnp.asarray(imgs))
             jax.block_until_ready(dets)
             infer_time = time.time() - start
             outputs = finalize_detections(dets, keep)
+            if seq_state is not None:
+                # link detections across consecutive windows of each stream
+                # (yolo_head.py:283-300; val samples arrive in stream order)
+                linked = []
+                for out, name in zip(outputs, names):
+                    if name != seq_stream:
+                        seq_state.clean()
+                        seq_stream = name
+                    linked.append(seq_state.link(out))
+                outputs = linked
             evaluator.add_result(outputs, list(tss), labels, names,
                                  infer_time, 0.0)
         return evaluator.evaluate()
