@@ -129,3 +129,25 @@ def eval_decode(level_outs, strides):
 def detector_loss(level_outs, labels, strides, num_classes, radius):
     hw = [o.shape[1:3] for o in level_outs]
     return compute_losses(level_outs, labels, hw, strides, num_classes, radius)
+
+
+def rollout_memory_detector(model: MemoryEventDetector, variables, windows,
+                            train: bool = False):
+    """Run a MemoryEventDetector over a (T, N, H, W, C) window sequence with
+    state carried through `lax.scan` — the functional form of the reference's
+    time-dim iteration with recurrent memory (core/model.py:27-42). Returns
+    the per-window raw head maps stacked over T."""
+    import jax
+
+    # prime carries with one apply (shapes depend on the backbone)
+    carries, outs0 = model.apply(variables, None, windows[0], train)
+
+    def step(carries, x):
+        carries, outs = model.apply(variables, carries, x, train)
+        return carries, outs
+
+    carries, outs = jax.lax.scan(step, carries, windows[1:])
+    # prepend the first window's outputs
+    stacked = [jnp.concatenate([o0[None], rest], axis=0)
+               for o0, rest in zip(outs0, outs)]
+    return carries, stacked

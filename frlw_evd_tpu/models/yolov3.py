@@ -267,10 +267,14 @@ def giou_xyxy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def gt_creator(img_size: int, strides, labels: np.ndarray,
-               anchor_size=ANCHOR_SIZE2) -> np.ndarray:
-    """Host-side per-cell anchor assignment (tools.py:401-482, single best
-    anchor). labels: (B, G, 5) rows [class, cx, cy, w, h] (zero = pad).
-    Returns (B, A_total, 7): [obj, cls, x1, y1, x2, y2, scale] normalised."""
+               anchor_size=ANCHOR_SIZE2, multi_anchor: bool = False) -> np.ndarray:
+    """Host-side per-cell anchor assignment (tools.py:401-482). labels:
+    (B, G, 5) rows [class, cx, cy, w, h] (zero = pad). Returns
+    (B, A_total, 7): [obj, cls, x1, y1, x2, y2, scale] normalised.
+
+    multi_anchor=True assigns every anchor with wh-IoU > 0.5 (falling back to
+    the single best when none exceeds it — tools.py
+    label_assignment_with_anchorbox:320-357)."""
     B = labels.shape[0]
     KA = len(anchor_size) // len(strides)
     anchors = np.asarray(anchor_size, np.float64)
@@ -287,16 +291,21 @@ def gt_creator(img_size: int, strides, labels: np.ndarray,
             x1, y1 = (xc - bw / 2) / img_size, (yc - bh / 2) / img_size
             x2, y2 = (xc + bw / 2) / img_size, (yc + bh / 2) / img_size
             scale = 2.0 - (bw / img_size) * (bh / img_size)
-            # best anchor by wh IoU centred at origin
+            # anchor wh IoU centred at origin
             inter = np.minimum(anchors[:, 0], bw) * np.minimum(anchors[:, 1], bh)
             union = anchors[:, 0] * anchors[:, 1] + bw * bh - inter + 1e-20
-            idx = int(np.argmax(inter / union))
-            s_ind, a_ind = idx // KA, idx % KA
-            s = strides[s_ind]
-            gx, gy = int(xc / s), int(yc / s)
-            if 0 <= gy < gt[s_ind].shape[1] and 0 <= gx < gt[s_ind].shape[2]:
-                gt[s_ind][bi, gy, gx, a_ind] = [1.0, cls_id, x1, y1, x2, y2,
-                                                scale]
+            iou = inter / union
+            if multi_anchor and (iou > 0.5).any():
+                picks = np.nonzero(iou > 0.5)[0]
+            else:
+                picks = [int(np.argmax(iou))]
+            for idx in picks:
+                s_ind, a_ind = idx // KA, idx % KA
+                s = strides[s_ind]
+                gx, gy = int(xc / s), int(yc / s)
+                if 0 <= gy < gt[s_ind].shape[1] and 0 <= gx < gt[s_ind].shape[2]:
+                    gt[s_ind][bi, gy, gx, a_ind] = [1.0, cls_id, x1, y1, x2,
+                                                    y2, scale]
     flat = [g.reshape(B, -1, 7) for g in gt]
     return np.concatenate(flat, axis=1).astype(np.float32)
 
