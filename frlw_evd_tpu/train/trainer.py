@@ -60,7 +60,7 @@ def make_yolov3_train_step(num_classes, img_size, half_precision=False):
     (models/yolov3.gt_creator) and passed in."""
     from ..models.yolov3 import yolov3_loss
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, imgs, gt_tensor, dropout_rng):
         if half_precision:
             imgs = imgs.astype(jnp.bfloat16)
@@ -111,7 +111,7 @@ def make_red_train_step(num_classes, height, width, priors,
     (train_memory_steps=1, matching the reference's single-window training)."""
     from ..models.red import red_loss
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, imgs, labels, dropout_rng):
         if half_precision:
             imgs = imgs.astype(jnp.bfloat16)
@@ -168,7 +168,7 @@ def make_memory_train_step(strides, num_classes, radius,
     """ConvLSTM/ConvGRU memory exp types: fresh carries per batch
     (train_memory_steps=1, reference core/exp.py:482-488 + settings.py:45)."""
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, imgs, labels, dropout_rng):
         if half_precision:
             imgs = imgs.astype(jnp.bfloat16)
@@ -213,7 +213,7 @@ def make_train_step(strides, num_classes, radius, half_precision=False):
     Under a mesh with the batch sharded over `data`, jit/GSPMD adds the
     gradient all-reduce automatically (params replicated)."""
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, imgs, labels, dropout_rng):
         if half_precision:
             imgs = imgs.astype(jnp.bfloat16)

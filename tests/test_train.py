@@ -105,11 +105,12 @@ def test_sharded_train_step_on_8_devices(mini, tmp_path):
     labels = np.zeros((8, 80, 5), np.float32)
     labels[:, 0] = [0, 20, 20, 12, 12]
     imgs, labels = shard_batch(mesh, (imgs, jnp.asarray(labels)))
-    state0 = t.state
-    state1, losses = t.train_step(state0, imgs, labels,
+    # the train step donates the state buffers — snapshot params first
+    params_before = jax.tree.map(np.asarray, t.state.params)
+    state1, losses = t.train_step(t.state, imgs, labels,
                                   jax.random.key(0))
     assert np.isfinite(float(losses["total_loss"]))
     # params actually updated
-    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                     state0.params, state1.params)
+    d = jax.tree.map(lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+                     params_before, state1.params)
     assert max(jax.tree.leaves(d)) > 0
