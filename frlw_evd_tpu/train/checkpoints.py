@@ -232,3 +232,60 @@ def _unflatten(flat: Dict[tuple, Any], like):
             return {k: build(prefix + (k,), v) for k, v in node.items()}
         return flat[prefix]
     return build((), like)
+
+
+# ---------------------------------------------------------------------------
+# transfer learning (reference core/exp.py:178-210)
+# ---------------------------------------------------------------------------
+
+def save_part_checkpoints(path_prefix: str, state) -> None:
+    """Also write per-part checkpoints for transfer (<name>_backbone /
+    <name>_neck, reference saveCheckpoint:204-210)."""
+    for part in ("backbone", "neck"):
+        if part not in state.params:
+            continue
+        tree = {"params": state.params[part],
+                "batch_stats": state.batch_stats.get(part, {})}
+        part_path = os.path.abspath(path_prefix + f"_{part}")
+        if _HAS_ORBAX:
+            ocp.PyTreeCheckpointer().save(part_path, tree, force=True)
+        else:
+            flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+            np.savez(part_path + ".npz", **{
+                jax.tree_util.keystr(k): np.asarray(v) for k, v in flat})
+
+
+def load_pretrained_backbone(path: str, state):
+    """Load a backbone part checkpoint onto the state (loadPretrained,
+    core/exp.py:178-193 — whose `requries_grad` typo silently skipped the
+    freeze; pair with `freeze_backbone_tx` to actually freeze)."""
+    part_path = os.path.abspath(path)
+    tree = {"params": state.params["backbone"],
+            "batch_stats": state.batch_stats.get("backbone", {})}
+    if _HAS_ORBAX and os.path.isdir(part_path):
+        restored = ocp.PyTreeCheckpointer().restore(part_path, item=tree)
+    elif os.path.exists(part_path + ".npz"):
+        data = np.load(part_path + ".npz")
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        restored = jax.tree_util.tree_unflatten(
+            treedef, [data[jax.tree_util.keystr(k)] for k, _ in flat])
+    else:
+        raise FileNotFoundError(f"no checkpoint found at '{path}'")
+    params = dict(state.params)
+    params["backbone"] = restored["params"]
+    batch_stats = dict(state.batch_stats)
+    batch_stats["backbone"] = restored["batch_stats"]
+    return state.replace(params=params, batch_stats=batch_stats)
+
+
+def freeze_backbone_tx(tx, params):
+    """Wrap an optax transform so backbone params receive zero updates — the
+    working version of the reference's intended freeze."""
+    import optax
+
+    def label(tree):
+        return {k: ("frozen" if k == "backbone" else "trainable")
+                for k in tree}
+
+    return optax.multi_transform(
+        {"trainable": tx, "frozen": optax.set_to_zero()}, label(params))

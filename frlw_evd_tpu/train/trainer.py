@@ -27,7 +27,7 @@ from ..models import build_detector
 from ..models.detector import detector_loss, eval_decode
 from ..models.postprocess import finalize_detections, postprocess_batch
 from ..parallel.mesh import make_data_mesh, make_mesh, shard_batch
-from .checkpoints import load_checkpoint, save_checkpoint
+from .checkpoints import load_checkpoint, save_checkpoint, save_part_checkpoints
 from .config import ExpConfig
 from .schedule import yolox_warm_cos_schedule
 
@@ -470,12 +470,23 @@ class Trainer:
             self.train_epoch()
             save_checkpoint(os.path.join(self.ckpt_dir, "last_epoch"),
                             self.state, self.epoch, self.max_score)
-            result = self.eval_epoch(self.make_evaluator())
-            if result[0] > self.max_score:
-                self.max_score = result[0]
-                save_checkpoint(os.path.join(self.ckpt_dir, "best_epoch"),
-                                self.state, self.epoch, self.max_score)
-            print(f"Epoch {self.epoch}: best score {self.max_score}")
+            save_part_checkpoints(os.path.join(self.ckpt_dir, "last_epoch"),
+                                  self.state)
+            # reduce_evaluate: validate only every ~10% of the run and in the
+            # final 40% (reference core/exp.py:249)
+            import math as _math
+
+            do_eval = (not cfg.reduce_evaluate) or (
+                self.epoch > 0
+                and (self.epoch % _math.ceil(cfg.max_epoch_to_stop / 10) == 0
+                     or self.epoch >= cfg.max_epoch_to_stop / 5 * 3))
+            if do_eval:
+                result = self.eval_epoch(self.make_evaluator())
+                if result[0] > self.max_score:
+                    self.max_score = result[0]
+                    save_checkpoint(os.path.join(self.ckpt_dir, "best_epoch"),
+                                    self.state, self.epoch, self.max_score)
+                print(f"Epoch {self.epoch}: best score {self.max_score}")
             self.epoch += 1
 
     def test(self):
