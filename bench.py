@@ -64,7 +64,8 @@ def make_pipeline(model, variables, sensor_hw, input_hw, use_mxu=True):
         # state: (B, H, W, 2, K); MXU-matmul scatter for small grids (GEN1),
         # XLA scatter for the 2.6x-larger gen4 grid where the one-hot matmul
         # cost (∝ E·P) overtakes the serial scatter (∝ E)
-        state = taf_stream_step(state, xytp, n_valid, use_mxu=use_mxu)
+        state = taf_stream_step(state, xytp, n_valid, use_mxu=use_mxu,
+                                precise=False)
         vol = jax.vmap(_state_to_input)(state)
         outs = model.apply(variables, vol.astype(jnp.bfloat16), False)
         outs = [o.astype(jnp.float32) for o in outs]

@@ -81,14 +81,16 @@ def scatter_add_mxu(idx: jnp.ndarray, vals: jnp.ndarray, size: int):
     return dense[:size]
 
 
-@partial(jax.jit, static_argnames=("size",))
+@partial(jax.jit, static_argnames=("size", "precise"))
 def scatter_cnt_tsum_mxu(idx: jnp.ndarray, tvals: jnp.ndarray,
-                         valid: jnp.ndarray, size: int):
+                         valid: jnp.ndarray, size: int, precise: bool = True):
     """Fused count + value-sum histogram (the TAF/EV inner primitive).
 
     Returns (cnt (size,), tsum (size,)) where cnt[e's cell] += 1 and
-    tsum[cell] += tvals[e] for valid events. Counts are exact; tsum carries
-    bf16x2 precision. One pass over the events, one matmul per chunk.
+    tsum[cell] += tvals[e] for valid events. Counts are exact. With
+    precise=True, tsum carries bf16x2 (~16 mantissa bit) precision; with
+    precise=False the values are single-bf16 (~0.4% per addend — well inside
+    the pipeline's own uint8 quantisation) and the contraction is 1/3 cheaper.
     """
     n_hi = (size + LANES - 1) // LANES
     dump = n_hi * LANES
@@ -100,9 +102,13 @@ def scatter_cnt_tsum_mxu(idx: jnp.ndarray, tvals: jnp.ndarray,
     lo = idx % LANES
 
     t_hi = tvals.astype(jnp.bfloat16).astype(jnp.float32)
-    t_lo = (tvals - t_hi).astype(jnp.bfloat16)
-
-    acc = _onehot_dot(hi, lo, (vmask, t_hi, t_lo), n_hi)
+    if precise:
+        t_lo = (tvals - t_hi).astype(jnp.bfloat16)
+        acc = _onehot_dot(hi, lo, (vmask, t_hi, t_lo), n_hi)
+        tsum = (acc[:, LANES:2 * LANES]
+                + acc[:, 2 * LANES:]).reshape(-1)[:size]
+    else:
+        acc = _onehot_dot(hi, lo, (vmask, t_hi), n_hi)
+        tsum = acc[:, LANES:2 * LANES].reshape(-1)[:size]
     cnt = acc[:, :LANES].reshape(-1)[:size]
-    tsum = (acc[:, LANES:2 * LANES] + acc[:, 2 * LANES:]).reshape(-1)[:size]
     return cnt, tsum

@@ -134,9 +134,9 @@ def event_frame_stream(xytp, n_valid, state, *, height: int, width: int):
 # TAF
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("use_mxu",))
+@partial(jax.jit, static_argnames=("use_mxu", "precise"))
 def taf_stream_step(state, xytp, n_valid, any_events=None, *,
-                    use_mxu: bool = True):
+                    use_mxu: bool = True, precise: bool = True):
     """Batched single-bin TAF queue update; state (B, H, W, 2, K); t must be
     pre-normalised to [0, 1] within the bin. MXU scatter by default.
 
@@ -157,7 +157,7 @@ def taf_stream_step(state, xytp, n_valid, any_events=None, *,
 
     def one(i, tv, v):
         if use_mxu:
-            cnt, tsum = scatter_cnt_tsum_mxu(i, tv, v, P)
+            cnt, tsum = scatter_cnt_tsum_mxu(i, tv, v, P, precise)
         else:
             oob = jnp.where(v, i, jnp.int32(2**30))
             cnt = jnp.zeros(P, jnp.float32).at[oob].add(1.0, mode="drop")

@@ -91,8 +91,8 @@ def test_simota_assigns_center_anchor():
     a = simota_assign(jnp.asarray(gt_boxes), jnp.asarray(gt_classes),
                       jnp.asarray(gt_valid), jnp.asarray(pred_boxes),
                       jnp.asarray(obj), jnp.asarray(cls),
-                      jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ss),
-                      5.0, num_classes=C_)
+                      jnp.asarray((xs + 0.5) * ss), jnp.asarray((ys + 0.5) * ss),
+                      jnp.asarray(ss), 5.0, num_classes=C_)
     fg = np.asarray(a.fg_mask)
     assert fg[27]
     assert np.asarray(a.matched_gt)[27] == 0
@@ -107,8 +107,8 @@ def test_simota_no_gt():
     a = simota_assign(jnp.zeros((G, 4)), jnp.zeros(G, jnp.int32),
                       jnp.zeros(G, bool), jnp.ones((A, 4)),
                       jnp.zeros(A), jnp.zeros((A, C_)),
-                      jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ss),
-                      5.0, num_classes=C_)
+                      jnp.asarray((xs + 0.5) * ss), jnp.asarray((ys + 0.5) * ss),
+                      jnp.asarray(ss), 5.0, num_classes=C_)
     assert not np.asarray(a.fg_mask).any()
     assert float(a.num_fg) == 0
 
