@@ -9,6 +9,14 @@ Quirks preserved for bit-compatibility:
     inserted so the window still counts (reference :99);
   * the first batch's timing is discarded (warm-up, reference :35-37);
   * time tolerance = infer_time/2 - 1 µs (reference :31).
+
+Deliberate deviation: detection rows here follow the canonical BBOX_DTYPE
+column order [t, x, y, w, h, class_id, track_id, class_confidence] with the
+score at column 7. The reference's transform_dt (:56-63) emits
+[t, x1, y1, w, h, cls, score, 0] — score at column 6, colliding with
+BBOX_DTYPE's track_id — which makes its own psee_evaluator read track ids as
+scores for on-disk dt files. Keeping score at 7 everywhere makes the folder
+evaluator, the recorder dumps and the motion-level chain mutually consistent.
 """
 
 from __future__ import annotations
