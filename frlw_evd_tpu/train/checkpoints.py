@@ -23,15 +23,37 @@ try:
 except Exception:  # pragma: no cover
     _HAS_ORBAX = False
 
+# async checkpointing: saves overlap the next training epoch; each new save
+# (and any restore) synchronises on the previous one first
+_async_ckptr = None
 
-def save_checkpoint(path: str, state, epoch: int, max_score: float) -> None:
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_checkpoints() -> None:
+    """Block until in-flight async saves are durable."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def save_checkpoint(path: str, state, epoch: int, max_score: float,
+                    use_async: bool = True) -> None:
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tree = {"params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step}
     if _HAS_ORBAX:
-        ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path, tree, force=True)
+        if use_async:
+            ckptr = _get_async_checkpointer()
+            ckptr.wait_until_finished()
+            ckptr.save(path, tree, force=True)
+        else:
+            ocp.PyTreeCheckpointer().save(path, tree, force=True)
     else:  # fallback: flat npz
         flat, _ = jax.tree_util.tree_flatten_with_path(tree)
         np.savez(path + ".npz", **{
@@ -41,6 +63,7 @@ def save_checkpoint(path: str, state, epoch: int, max_score: float) -> None:
 
 
 def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:
+    wait_for_checkpoints()
     path = os.path.abspath(path)
     tree = {"params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step}

@@ -27,7 +27,8 @@ from ..models import build_detector
 from ..models.detector import detector_loss, eval_decode
 from ..models.postprocess import finalize_detections, postprocess_batch
 from ..parallel.mesh import make_data_mesh, make_mesh, shard_batch
-from .checkpoints import load_checkpoint, save_checkpoint, save_part_checkpoints
+from .checkpoints import (load_checkpoint, save_checkpoint,
+                          save_part_checkpoints, wait_for_checkpoints)
 from .config import ExpConfig
 from .schedule import yolox_warm_cos_schedule
 
@@ -488,6 +489,7 @@ class Trainer:
                                     self.state, self.epoch, self.max_score)
                 print(f"Epoch {self.epoch}: best score {self.max_score}")
             self.epoch += 1
+        wait_for_checkpoints()
 
     def test(self):
         cfg = self.cfg
