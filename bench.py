@@ -29,6 +29,7 @@ _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +48,8 @@ CONFIGS = {
                      metric="gen1_aed_taf8_encode_detect_throughput"),
     # 1MEGAPIXEL: the reference scales event coordinates and encodes gen4 at
     # the 512x640 target resolution (generate_taf.py:216-219) — the state
-    # grid never exists at 720x1280
+    # grid never exists at 720x1280. MXU scatter wins here too (23 ms vs
+    # 39 ms XLA serial scatter for 16x65536 events, measured on v5e).
     "gen4_taf": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=16,
                      events_per_bin=65536,
                      metric="gen4_aed_taf8_encode_detect_throughput"),
@@ -61,9 +63,8 @@ def make_pipeline(model, variables, sensor_hw, input_hw, use_mxu=True):
     h, w = sensor_hw
 
     def one_window(state, xytp, n_valid):
-        # state: (B, H, W, 2, K); MXU-matmul scatter for small grids (GEN1),
-        # XLA scatter for the 2.6x-larger gen4 grid where the one-hot matmul
-        # cost (∝ E·P) overtakes the serial scatter (∝ E)
+        # state: (B, H, W, 2, K); MXU-matmul scatter beats XLA's serial
+        # scatter on both grids (GEN1 6.5 vs 19 ms, gen4 23 vs 39 ms)
         state = taf_stream_step(state, xytp, n_valid, use_mxu=use_mxu,
                                 precise=False)
         vol = jax.vmap(_state_to_input)(state)
@@ -82,7 +83,9 @@ def make_pipeline(model, variables, sensor_hw, input_hw, use_mxu=True):
         xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(jnp.int32)
         return vol[ys[:, None], xs[None, :], :]
 
-    @jax.jit
+    # donate the TAF queue state: the (B, H, W, 2, K) grid is 671 MB for
+    # gen4 — in-place update instead of alloc+copy every window
+    @partial(jax.jit, donate_argnums=(0,))
     def run_step(state, ev, nv):
         # one fused encode→detect window (scan over steps made the remote
         # compiler pathologically slow; a python loop costs ~dispatch only)

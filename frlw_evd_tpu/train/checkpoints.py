@@ -23,22 +23,49 @@ try:
 except Exception:  # pragma: no cover
     _HAS_ORBAX = False
 
-# async checkpointing: saves overlap the next training epoch; each new save
-# (and any restore) synchronises on the previous one first
-_async_ckptr = None
+# Async checkpointing. Crash-safety contract: saves go to VERSIONED
+# directories (<path>__v<epoch>) so the previous committed checkpoint is
+# never deleted before its replacement is durable (Orbax force=True rmtree's
+# the destination synchronously before the background write). meta.json is
+# written only AFTER the commit is durable (at the next wait/flush) and names
+# the directory it refers to; stale versions are pruned at the same point.
+_async_ckptrs: Dict[str, Any] = {}   # one per target path → concurrent saves
+_pending_finalize = []               # (ckptr, meta_path, meta, keep_dirs)
 
 
-def _get_async_checkpointer():
-    global _async_ckptr
-    if _async_ckptr is None:
-        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
-    return _async_ckptr
+def _get_async_checkpointer(path: str):
+    if path not in _async_ckptrs:
+        _async_ckptrs[path] = ocp.AsyncCheckpointer(
+            ocp.PyTreeCheckpointHandler())
+    return _async_ckptrs[path]
+
+
+def _flush_finalizers() -> None:
+    global _pending_finalize
+    pending, _pending_finalize = _pending_finalize, []
+    for ckptr, meta_path, meta, prune_prefix, keep_dir in pending:
+        ckptr.wait_until_finished()   # re-raises stored background errors
+        if meta_path is not None:
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        if prune_prefix is not None:
+            import shutil
+
+            parent = os.path.dirname(prune_prefix)
+            base = os.path.basename(prune_prefix)
+            for name in os.listdir(parent):
+                full = os.path.join(parent, name)
+                if (name.startswith(base + "__v") and full != keep_dir
+                        and os.path.isdir(full)):
+                    shutil.rmtree(full, ignore_errors=True)
 
 
 def wait_for_checkpoints() -> None:
-    """Block until in-flight async saves are durable."""
-    if _async_ckptr is not None:
-        _async_ckptr.wait_until_finished()
+    """Block until in-flight async saves are durable, surface any background
+    save errors, publish their meta files and prune stale versions."""
+    _flush_finalizers()
+    for ckptr in _async_ckptrs.values():
+        ckptr.wait_until_finished()
 
 
 def save_checkpoint(path: str, state, epoch: int, max_score: float,
@@ -49,11 +76,16 @@ def save_checkpoint(path: str, state, epoch: int, max_score: float,
             "opt_state": state.opt_state, "step": state.step}
     if _HAS_ORBAX:
         if use_async:
-            ckptr = _get_async_checkpointer()
-            ckptr.wait_until_finished()
-            ckptr.save(path, tree, force=True)
-        else:
-            ocp.PyTreeCheckpointer().save(path, tree, force=True)
+            _flush_finalizers()        # publish + error-check previous save
+            vdir = f"{path}__v{epoch}"
+            ckptr = _get_async_checkpointer(path)
+            ckptr.save(vdir, tree, force=True)
+            _pending_finalize.append((
+                ckptr, path + ".meta.json",
+                {"epoch": epoch, "max_score": max_score, "dir": vdir},
+                path, vdir))
+            return
+        ocp.PyTreeCheckpointer().save(path, tree, force=True)
     else:  # fallback: flat npz
         flat, _ = jax.tree_util.tree_flatten_with_path(tree)
         np.savez(path + ".npz", **{
@@ -67,18 +99,26 @@ def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:
     path = os.path.abspath(path)
     tree = {"params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step}
-    if _HAS_ORBAX and os.path.isdir(path):
+    meta = None
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    restore_dir = (meta or {}).get("dir", path)
+    if _HAS_ORBAX and os.path.isdir(restore_dir):
         ckptr = ocp.PyTreeCheckpointer()
-        restored = ckptr.restore(path, item=tree)
+        restored = ckptr.restore(restore_dir, item=tree)
     elif os.path.exists(path + ".npz"):
         data = np.load(path + ".npz")
         flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
         restored_flat = [data[jax.tree_util.keystr(k)] for k, _ in flat]
         restored = jax.tree_util.tree_unflatten(treedef, restored_flat)
     else:
-        raise FileNotFoundError(f"no checkpoint at {path}")
-    with open(path + ".meta.json") as f:
-        meta = json.load(f)
+        raise FileNotFoundError(
+            f"no checkpoint at {path}" + (
+                f" (meta points at missing {restore_dir})"
+                if meta is not None and restore_dir != path else ""))
+    if meta is None:
+        raise FileNotFoundError(f"no checkpoint metadata at {path}.meta.json")
     new_state = state.replace(params=restored["params"],
                               batch_stats=restored["batch_stats"],
                               opt_state=restored["opt_state"],
@@ -261,9 +301,13 @@ def _unflatten(flat: Dict[tuple, Any], like):
 # transfer learning (reference core/exp.py:178-210)
 # ---------------------------------------------------------------------------
 
-def save_part_checkpoints(path_prefix: str, state) -> None:
+def save_part_checkpoints(path_prefix: str, state,
+                          use_async: bool = True) -> None:
     """Also write per-part checkpoints for transfer (<name>_backbone /
-    <name>_neck, reference saveCheckpoint:204-210)."""
+    <name>_neck, reference saveCheckpoint:204-210). Async by default —
+    per-path checkpointers let both parts overlap the next epoch; these are
+    transfer artifacts with no meta pointer, so a crash mid-write only loses
+    the part file itself."""
     for part in ("backbone", "neck"):
         if part not in state.params:
             continue
@@ -271,7 +315,11 @@ def save_part_checkpoints(path_prefix: str, state) -> None:
                 "batch_stats": state.batch_stats.get(part, {})}
         part_path = os.path.abspath(path_prefix + f"_{part}")
         if _HAS_ORBAX:
-            ocp.PyTreeCheckpointer().save(part_path, tree, force=True)
+            if use_async:
+                _get_async_checkpointer(part_path).save(
+                    part_path, tree, force=True)
+            else:
+                ocp.PyTreeCheckpointer().save(part_path, tree, force=True)
         else:
             flat, _ = jax.tree_util.tree_flatten_with_path(tree)
             np.savez(part_path + ".npz", **{
@@ -282,6 +330,7 @@ def load_pretrained_backbone(path: str, state):
     """Load a backbone part checkpoint onto the state (loadPretrained,
     core/exp.py:178-193 — whose `requries_grad` typo silently skipped the
     freeze; pair with `freeze_backbone_tx` to actually freeze)."""
+    wait_for_checkpoints()
     part_path = os.path.abspath(path)
     tree = {"params": state.params["backbone"],
             "batch_stats": state.batch_stats.get("backbone", {})}

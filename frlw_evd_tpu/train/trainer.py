@@ -467,6 +467,15 @@ class Trainer:
                                 "last_epoch")
             self.state, self.epoch, self.max_score = load_checkpoint(
                 path, self.state)
+        try:
+            self._train_loop()
+        finally:
+            # always drain async saves: surfaces background save errors and
+            # publishes the final meta.json even if an epoch raised
+            wait_for_checkpoints()
+
+    def _train_loop(self):
+        cfg = self.cfg
         while self.epoch < cfg.max_epoch_to_stop:
             self.train_epoch()
             save_checkpoint(os.path.join(self.ckpt_dir, "last_epoch"),
@@ -489,7 +498,6 @@ class Trainer:
                                     self.state, self.epoch, self.max_score)
                 print(f"Epoch {self.epoch}: best score {self.max_score}")
             self.epoch += 1
-        wait_for_checkpoints()
 
     def test(self):
         cfg = self.cfg

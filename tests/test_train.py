@@ -89,6 +89,39 @@ def test_checkpoint_roundtrip(mini, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_crash_safety(mini, tmp_path):
+    """Async saves commit to versioned dirs; meta.json is published only once
+    the data is durable, always points at an existing dir, and stale versions
+    are pruned — so a crash mid-save can never orphan the meta pointer."""
+    import json
+    import os
+
+    from frlw_evd_tpu.train.checkpoints import wait_for_checkpoints
+
+    t = tiny_trainer(mini, log_path=str(tmp_path))
+    t.create_datasets()
+    t.build(1)
+    path = str(tmp_path / "ckpt" / "last_epoch")
+
+    save_checkpoint(path, t.state, epoch=1, max_score=0.1)
+    # meta not yet published: a crash now leaves no dangling pointer
+    assert not os.path.exists(path + ".meta.json")
+    wait_for_checkpoints()
+    meta = json.load(open(path + ".meta.json"))
+    assert meta["epoch"] == 1 and os.path.isdir(meta["dir"])
+    assert meta["dir"].endswith("__v1")
+
+    save_checkpoint(path, t.state, epoch=2, max_score=0.2)
+    wait_for_checkpoints()
+    meta = json.load(open(path + ".meta.json"))
+    assert meta["dir"].endswith("__v2") and os.path.isdir(meta["dir"])
+    # stale version pruned after the new one is durable
+    assert not os.path.exists(path + "__v1")
+
+    _, epoch, score = load_checkpoint(path, t.state)
+    assert epoch == 3 and score == 0.2
+
+
 def test_sharded_train_step_on_8_devices(mini, tmp_path):
     """The jitted train step under a real 8-device data mesh."""
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
