@@ -42,16 +42,18 @@ from frlw_evd_tpu.models.detector import eval_decode
 from frlw_evd_tpu.models.postprocess import postprocess_batch
 
 CONFIGS = {
-    # flagship: GEN1 AED + TAF-K8 streaming (the mAP-parity recipe)
-    "gen1_taf": dict(sensor_hw=(240, 304), input_hw=(256, 320), batch=64,
+    # flagship: GEN1 AED + TAF-K8 streaming (the mAP-parity recipe).
+    # batch sweep on v5e: 64 -> 2270 w/s, 128 -> 2660 w/s, 256 -> 2340 w/s
+    "gen1_taf": dict(sensor_hw=(240, 304), input_hw=(256, 320), batch=128,
                      events_per_bin=16384,
                      metric="gen1_aed_taf8_encode_detect_throughput"),
     # 1MEGAPIXEL: the reference scales event coordinates and encodes gen4 at
     # the 512x640 target resolution (generate_taf.py:216-219) — the state
     # grid never exists at 720x1280. MXU scatter wins here too (23 ms vs
     # 39 ms XLA serial scatter for 16x65536 events, measured on v5e).
-    "gen4_taf": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=16,
-                     events_per_bin=65536,
+    # batch sweep: 16 -> 264 w/s, 32 -> 338, 64 -> 433, 128 -> 494
+    "gen4_taf": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=128,
+                     events_per_bin=65536, fused=False,
                      metric="gen4_aed_taf8_encode_detect_throughput"),
 }
 
@@ -59,40 +61,72 @@ K = 8
 STEPS_PER_CALL = 10   # distinct synthetic event batches cycled over
 
 
-def make_pipeline(model, variables, sensor_hw, input_hw, use_mxu=True):
+def make_pipeline(model, variables, sensor_hw, input_hw, use_mxu=True,
+                  fused=True):
+    """fused=True compiles the whole window as one program; fused=False
+    chains three jits (encode / transform / detect). Measured on v5e: GEN1
+    prefers fused (26.5 vs 28.7 ms), gen4 prefers split (61 vs 66 ms) —
+    XLA's layout choices for the large scatter intermediates pessimize the
+    conv pipeline when they share a program at the 512x640 grid. The stage
+    boundaries (state grid, input volume) live in HBM either way."""
     h, w = sensor_hw
 
-    def one_window(state, xytp, n_valid):
-        # state: (B, H, W, 2, K); MXU-matmul scatter beats XLA's serial
-        # scatter on both grids (GEN1 6.5 vs 19 ms, gen4 23 vs 39 ms)
-        state = taf_stream_step(state, xytp, n_valid, use_mxu=use_mxu,
-                                precise=False)
-        vol = jax.vmap(_state_to_input)(state)
-        outs = model.apply(variables, vol.astype(jnp.bfloat16), False)
-        outs = [o.astype(jnp.float32) for o in outs]
-        decoded = eval_decode(outs, (8, 16, 32))
-        dets, keep = postprocess_batch(decoded, max_detections=100)
-        return state, (dets, keep)
+    # donate the TAF queue state: the (B, H, W, 2, K) grid is 671 MB for
+    # gen4 — in-place update instead of alloc+copy every window.
+    # MXU-matmul scatter beats XLA's serial scatter on both grids
+    # (GEN1 6.5 vs 19 ms, gen4 23 vs 39 ms).
+    @partial(jax.jit, donate_argnums=(0,))
+    def encode(state, xytp, n_valid):
+        return taf_stream_step(state, xytp, n_valid, use_mxu=use_mxu,
+                               precise=False)
 
     def _state_to_input(state):
         # (H, W, 2, K) → newest-first (H, W, 2K) leaky volume → resize → /255
         vol = state[..., ::-1]
         vol = jnp.swapaxes(vol, 2, 3).reshape(h, w, 2 * K)
-        vol = leaky_transform(vol) / 255.0
-        ys = (jnp.arange(input_hw[0]) * (h / input_hw[0])).astype(jnp.int32)
-        xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(jnp.int32)
-        return vol[ys[:, None], xs[None, :], :]
+        # leaky transform in f32 (log1p precision), then cast BEFORE the
+        # resize gather so it moves half the bytes
+        vol = (leaky_transform(vol) / 255.0).astype(jnp.bfloat16)
+        if input_hw != (h, w):
+            # nearest resize as two single-axis takes — a combined 2D-index
+            # gather costs ~40 ms on the gen4 grid
+            ys = (jnp.arange(input_hw[0]) * (h / input_hw[0])).astype(jnp.int32)
+            xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(jnp.int32)
+            vol = jnp.take(jnp.take(vol, ys, axis=0), xs, axis=1)
+        return vol
 
-    # donate the TAF queue state: the (B, H, W, 2, K) grid is 671 MB for
-    # gen4 — in-place update instead of alloc+copy every window
+    @jax.jit
+    def transform(state):
+        return jax.vmap(_state_to_input)(state).astype(jnp.bfloat16)
+
+    @jax.jit
+    def detect(vol):
+        outs = model.apply(variables, vol, False)
+        outs = [o.astype(jnp.float32) for o in outs]
+        decoded = eval_decode(outs, (8, 16, 32))
+        dets, keep = postprocess_batch(decoded, max_detections=100)
+        return keep.sum()
+
+    if not fused:
+        def run_step(state, ev, nv):
+            # python-chained stages cost ~dispatch only (and a scan over
+            # steps made the remote compiler pathologically slow)
+            state = encode(state, ev, nv)
+            return state, detect(transform(state))
+        return run_step
+
     @partial(jax.jit, donate_argnums=(0,))
-    def run_step(state, ev, nv):
-        # one fused encode→detect window (scan over steps made the remote
-        # compiler pathologically slow; a python loop costs ~dispatch only)
-        state, (dets, keep) = one_window(state, ev, nv)
+    def run_step_fused(state, ev, nv):
+        state = taf_stream_step(state, ev, nv, use_mxu=use_mxu,
+                                precise=False)
+        vol = jax.vmap(_state_to_input)(state).astype(jnp.bfloat16)
+        outs = model.apply(variables, vol, False)
+        outs = [o.astype(jnp.float32) for o in outs]
+        decoded = eval_decode(outs, (8, 16, 32))
+        _, keep = postprocess_batch(decoded, max_detections=100)
         return state, keep.sum()
 
-    return run_step
+    return run_step_fused
 
 
 def synth_events(rng, steps, batch, e_per_bin, sensor_hw):
@@ -128,7 +162,8 @@ def main():
         variables)
 
     run_step = make_pipeline(model, variables, sensor_hw, input_hw,
-                             cfg.get("use_mxu", True))
+                             cfg.get("use_mxu", True),
+                             fused=cfg.get("fused", True))
     h, w = sensor_hw
     state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
     events, n_valid = synth_events(rng, STEPS_PER_CALL, BATCH,
