@@ -306,6 +306,7 @@ class Trainer:
         # best_epoch and test-time loading never finds the file missing
         self.max_score = -1.0
         self.epoch = 0
+        self.tb_writer = None
 
     # -- data --------------------------------------------------------------
     def _make_dataset(self, mode: str, augment: bool):
@@ -458,6 +459,16 @@ class Trainer:
                          cfg.img_size[1], cfg.img_size[0], cfg.dataset,
                          recorder)
 
+    def _make_tb_writer(self):
+        """TensorBoard scalars per epoch (Training/Loss, Validation/Map —
+        reference core/exp.py:215,313,328); None if tensorboard is absent."""
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(os.path.join(self.exp_dir, "tensorboard"))
+        except Exception:
+            return None
+
     def train(self):
         cfg = self.cfg
         self.create_datasets()
@@ -467,17 +478,23 @@ class Trainer:
                                 "last_epoch")
             self.state, self.epoch, self.max_score = load_checkpoint(
                 path, self.state)
+        self.tb_writer = self._make_tb_writer()
         try:
             self._train_loop()
         finally:
             # always drain async saves: surfaces background save errors and
             # publishes the final meta.json even if an epoch raised
             wait_for_checkpoints()
+            if self.tb_writer is not None:
+                self.tb_writer.close()
 
     def _train_loop(self):
         cfg = self.cfg
         while self.epoch < cfg.max_epoch_to_stop:
-            self.train_epoch()
+            mean = self.train_epoch()
+            if self.tb_writer is not None and mean:
+                self.tb_writer.add_scalar("Training/Loss",
+                                          mean["total_loss"], self.epoch)
             save_checkpoint(os.path.join(self.ckpt_dir, "last_epoch"),
                             self.state, self.epoch, self.max_score)
             save_part_checkpoints(os.path.join(self.ckpt_dir, "last_epoch"),
@@ -492,6 +509,9 @@ class Trainer:
                      or self.epoch >= cfg.max_epoch_to_stop / 5 * 3))
             if do_eval:
                 result = self.eval_epoch(self.make_evaluator())
+                if self.tb_writer is not None:
+                    self.tb_writer.add_scalar("Validation/Map", result[0],
+                                              self.epoch)
                 if result[0] > self.max_score:
                     self.max_score = result[0]
                     save_checkpoint(os.path.join(self.ckpt_dir, "best_epoch"),
