@@ -49,11 +49,12 @@ CONFIGS = {
                      metric="gen1_aed_taf8_encode_detect_throughput"),
     # 1MEGAPIXEL: the reference scales event coordinates and encodes gen4 at
     # the 512x640 target resolution (generate_taf.py:216-219) — the state
-    # grid never exists at 720x1280. MXU scatter wins here too (23 ms vs
-    # 39 ms XLA serial scatter for 16x65536 events, measured on v5e).
+    # grid never exists at 720x1280. The 655k-cell grid makes the dense
+    # one-hot scatter O(E·P)-bound, so it uses the sort-bucketed histogram
+    # (94 ms vs 151 ms mxu vs ~300 ms XLA serial scatter at batch 128).
     # batch sweep: 16 -> 264 w/s, 32 -> 338, 64 -> 433, 128 -> 494
     "gen4_taf": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=128,
-                     events_per_bin=65536, fused=False,
+                     events_per_bin=65536, fused=False, scatter="sorted",
                      metric="gen4_aed_taf8_encode_detect_throughput"),
 }
 
@@ -61,7 +62,7 @@ K = 8
 STEPS_PER_CALL = 10   # distinct synthetic event batches cycled over
 
 
-def make_pipeline(model, variables, sensor_hw, input_hw, use_mxu=True,
+def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
                   fused=True):
     """fused=True compiles the whole window as one program; fused=False
     chains three jits (encode / transform / detect). Measured on v5e: GEN1
@@ -70,15 +71,6 @@ def make_pipeline(model, variables, sensor_hw, input_hw, use_mxu=True,
     conv pipeline when they share a program at the 512x640 grid. The stage
     boundaries (state grid, input volume) live in HBM either way."""
     h, w = sensor_hw
-
-    # donate the TAF queue state: the (B, H, W, 2, K) grid is 671 MB for
-    # gen4 — in-place update instead of alloc+copy every window.
-    # MXU-matmul scatter beats XLA's serial scatter on both grids
-    # (GEN1 6.5 vs 19 ms, gen4 23 vs 39 ms).
-    @partial(jax.jit, donate_argnums=(0,))
-    def encode(state, xytp, n_valid):
-        return taf_stream_step(state, xytp, n_valid, use_mxu=use_mxu,
-                               precise=False)
 
     def _state_to_input(state):
         # (H, W, 2, K) → newest-first (H, W, 2K) leaky volume → resize → /255
@@ -95,9 +87,15 @@ def make_pipeline(model, variables, sensor_hw, input_hw, use_mxu=True,
             vol = jnp.take(jnp.take(vol, ys, axis=0), xs, axis=1)
         return vol
 
-    @jax.jit
-    def transform(state):
-        return jax.vmap(_state_to_input)(state).astype(jnp.bfloat16)
+    # donate the TAF queue state: the (B, H, W, 2, K) grid is 671 MB-2.7 GB —
+    # in-place update instead of alloc+copy every window. encode+transform
+    # share one program (saves a full state read: 118 vs 125 ms on gen4).
+    @partial(jax.jit, donate_argnums=(0,))
+    def encode_transform(state, xytp, n_valid):
+        state = taf_stream_step(state, xytp, n_valid, precise=False,
+                                use_sorted=(scatter == "sorted"),
+                                use_mxu=(scatter == "mxu"))
+        return state, jax.vmap(_state_to_input)(state)
 
     @jax.jit
     def detect(vol):
@@ -111,14 +109,17 @@ def make_pipeline(model, variables, sensor_hw, input_hw, use_mxu=True,
         def run_step(state, ev, nv):
             # python-chained stages cost ~dispatch only (and a scan over
             # steps made the remote compiler pathologically slow)
-            state = encode(state, ev, nv)
-            return state, detect(transform(state))
+            state, vol = encode_transform(state, ev, nv)
+            return state, detect(vol)
+        run_step.stages = {"encode_transform": encode_transform,
+                           "detect": detect}
         return run_step
 
     @partial(jax.jit, donate_argnums=(0,))
     def run_step_fused(state, ev, nv):
-        state = taf_stream_step(state, ev, nv, use_mxu=use_mxu,
-                                precise=False)
+        state = taf_stream_step(state, ev, nv, precise=False,
+                                use_sorted=(scatter == "sorted"),
+                                use_mxu=(scatter == "mxu"))
         vol = jax.vmap(_state_to_input)(state).astype(jnp.bfloat16)
         outs = model.apply(variables, vol, False)
         outs = [o.astype(jnp.float32) for o in outs]
@@ -145,6 +146,9 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="gen1_taf", choices=CONFIGS)
+    parser.add_argument("--profile", action="store_true",
+                        help="also print a per-stage breakdown (split "
+                             "pipeline only) to stderr")
     args = parser.parse_args()
     cfg = CONFIGS[args.config]
     sensor_hw, input_hw = cfg["sensor_hw"], cfg["input_hw"]
@@ -162,7 +166,7 @@ def main():
         variables)
 
     run_step = make_pipeline(model, variables, sensor_hw, input_hw,
-                             cfg.get("use_mxu", True),
+                             cfg.get("scatter", "mxu"),
                              fused=cfg.get("fused", True))
     h, w = sensor_hw
     state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
@@ -173,6 +177,28 @@ def main():
     # reliable fence on this experimental platform
     state, kept = run_step(state, events[0], n_valid[0])
     float(kept)
+
+    if args.profile and hasattr(run_step, "stages"):
+        st = run_step.stages
+        # NB: fence with a scalar slice, NOT .ravel()[0] — raveling the
+        # (B, H, W, 2, K) state compiles a full copy for which XLA picks a
+        # 16x lane-padded layout (43 GB for gen4 batch 128)
+        float(state[0, 0, 0, 0, 0])   # pre-compile the fence program
+        t0 = time.time()
+        for _ in range(10):    # donated state: chain it through
+            state, vol = st["encode_transform"](state, events[1],
+                                                n_valid[1])
+        float(state[0, 0, 0, 0, 0])
+        print("# stage encode+transform: "
+              f"{(time.time() - t0) / 10 * 1000:.2f} ms", file=sys.stderr)
+        k0 = st["detect"](vol)
+        float(k0)
+        t0 = time.time()
+        for _ in range(10):
+            k0 = st["detect"](vol)
+        float(k0)
+        print(f"# stage detect: {(time.time() - t0) / 10 * 1000:.2f} ms",
+              file=sys.stderr)
 
     n_steps = 50
     t0 = time.time()

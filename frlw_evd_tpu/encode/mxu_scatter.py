@@ -112,3 +112,141 @@ def scatter_cnt_tsum_mxu(idx: jnp.ndarray, tvals: jnp.ndarray,
         tsum = acc[:, LANES:2 * LANES].reshape(-1)[:size]
     cnt = acc[:, :LANES].reshape(-1)[:size]
     return cnt, tsum
+
+
+# ---------------------------------------------------------------------------
+# Sort-bucketed variant: O(E·Δ·LANES) instead of O(E·size)
+# ---------------------------------------------------------------------------
+#
+# The dense one-hot above pays E·size MACs — fine for GEN1's 146k cells but
+# 43G MAC/stream on the 655k-cell 1MEGAPIXEL grid. Sorting the event indices
+# first (cheap on TPU: ~19 ms for 128x65536 on v5e) makes each contiguous
+# chunk of events span only a narrow band of hi rows, so the one-hot only
+# needs Δ local rows per chunk; the per-chunk (Δ, LANES) partials are then
+# window-scattered into the dense grid (one scatter entry per CHUNK, not per
+# event). Events whose chunk spans more than Δ hi rows (only heavily skewed
+# distributions) fall back to one XLA serial scatter pass, guarded by a
+# global lax.cond so the fallback costs nothing when it does not trigger.
+
+SORT_CHUNK = 512
+SORT_DELTA = 128
+
+
+def _sorted_partials(idx_s, t_s, n_hi, cols_fn, delta, chunk):
+    """Per-stream chunked local-one-hot contraction on SORTED indices.
+    Returns (dense (n_hi, ncol*LANES) f32, overflow mask (E,) in sorted
+    order).
+
+    Scatter-free combine: each chunk's hi band is measured from a base row
+    SNAPPED to a multiple of V = delta//2, so a chunk occupies exactly two
+    V-row slots. The per-chunk (delta, L) partials then collapse into per-
+    slot sums with one tiny (n_slots x n_chunks) one-hot matmul, and the
+    dense grid is two statically-shifted adds of the slot halves — XLA
+    window-scatter (~4.6 us/window on v5e) never runs."""
+    E = idx_s.shape[0]
+    n_chunks = E // chunk
+    V = delta // 2
+    hi = (idx_s // LANES).reshape(n_chunks, chunk)
+    lo = (idx_s % LANES).reshape(n_chunks, chunk)
+    slot = hi[:, 0] // V                      # (C,) non-decreasing
+    dh = hi - (slot * V)[:, None]             # in [0, delta) when in range
+    in_grid = hi < n_hi                       # sentinel rows excluded
+    ok = in_grid & (dh < delta)
+    overflow = (in_grid & ~ok).reshape(E)
+
+    onehot_dh = ((dh[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (n_chunks, chunk, delta), 2)) & ok[..., None]
+    ).astype(jnp.bfloat16)
+    onehot_lo = (lo[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (n_chunks, chunk, LANES), 2)).astype(jnp.bfloat16)
+    cols = cols_fn(t_s.reshape(n_chunks, chunk))
+    U = jnp.concatenate([onehot_lo * c[..., None].astype(jnp.bfloat16)
+                         for c in cols], axis=2)
+    part = jax.lax.dot_general(onehot_dh, U, (((1,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+    L = U.shape[-1]
+    # +2 slots: one for the sentinel band at n_hi, one for window spill
+    n_slots = n_hi // V + 2
+    # f32 slot one-hot: counts in a slot can exceed bf16's exact-integer
+    # range (256); this dot is tiny (n_slots x n_chunks x delta*L)
+    onehot_slot = (slot[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (n_chunks, n_slots), 1)).astype(jnp.float32)
+    slot_sum = jax.lax.dot_general(
+        onehot_slot, part.reshape(n_chunks, delta * L),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(n_slots, delta, L)
+    # overlap-add the two V-row halves: rows [s*V, s*V+V) and [s*V+V, s*V+2V)
+    lo_half = slot_sum[:, :V, :].reshape(n_slots * V, L)
+    hi_half = slot_sum[:, V:, :].reshape(n_slots * V, L)
+    dense = lo_half + jnp.concatenate(
+        [jnp.zeros((V, L), jnp.float32), hi_half[:-V]], axis=0)
+    return dense[:n_hi], overflow
+
+
+@partial(jax.jit, static_argnames=("size", "precise"))
+def scatter_cnt_tsum_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
+                            valid: jnp.ndarray, size: int,
+                            precise: bool = True):
+    """Batched fused count + value-sum histogram via sort + local one-hot.
+
+    idx/tvals/valid: (B, E). Returns (cnt, tsum) each (B, size) f32, equal to
+    `vmap(scatter_cnt_tsum_mxu)` but with cost O(E·Δ·128) instead of
+    O(E·size) — the fast path for large grids (1MEGAPIXEL: 158 ms → ~45 ms
+    for 128x65536 events on v5e)."""
+    B, E = idx.shape
+    n_hi = (size + LANES - 1) // LANES
+    sentinel = n_hi * LANES
+    delta, chunk = SORT_DELTA, SORT_CHUNK
+    idx = jnp.where(valid & (idx >= 0) & (idx < size), idx,
+                    jnp.int32(sentinel))
+    tvals = jnp.where(valid, tvals, 0.0)
+    n_pad = (-E) % chunk
+    if n_pad:
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad)),
+                      constant_values=sentinel)
+        tvals = jnp.pad(tvals, ((0, 0), (0, n_pad)))
+
+    idx_s, t_s = jax.lax.sort((idx, tvals), num_keys=1, dimension=1)
+
+    if precise:
+        def cols_fn(tc):
+            thi = tc.astype(jnp.bfloat16).astype(jnp.float32)
+            return (jnp.ones_like(tc), thi, (tc - thi))
+    else:
+        def cols_fn(tc):
+            return (jnp.ones_like(tc), tc)
+
+    dense, overflow = jax.vmap(
+        lambda i, t: _sorted_partials(i, t, n_hi, cols_fn, delta, chunk)
+    )(idx_s, t_s)
+
+    def add_overflow(d):
+        # one XLA serial-scatter pass over the (rare) events whose sorted
+        # chunk spanned more than Δ hi rows; non-overflow rows carry the
+        # sentinel and get dropped
+        oob = jnp.where(overflow, idx_s, jnp.int32(sentinel))
+        hi_o = oob // LANES
+        lo_o = oob % LANES
+
+        def one(dd, h, l, t):
+            ncol = dd.shape[1] // LANES
+            out = dd.reshape(n_hi, ncol, LANES)
+            for c, colv in enumerate(cols_fn(t)):
+                out = out.at[h, c, l].add(
+                    colv.astype(jnp.float32), mode="drop")
+            return out.reshape(n_hi, ncol * LANES)
+
+        return jax.vmap(one)(d, hi_o, lo_o, t_s)
+
+    dense = jax.lax.cond(jnp.any(overflow), add_overflow, lambda d: d, dense)
+
+    ncol = dense.shape[-1] // LANES
+    dense3 = dense.reshape(B, n_hi, ncol, LANES)
+    cnt = dense3[:, :, 0, :].reshape(B, -1)[:, :size]
+    if precise:
+        tsum = (dense3[:, :, 1, :] + dense3[:, :, 2, :]).reshape(
+            B, -1)[:, :size]
+    else:
+        tsum = dense3[:, :, 1, :].reshape(B, -1)[:, :size]
+    return cnt, tsum

@@ -26,7 +26,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .mxu_scatter import scatter_add_mxu, scatter_cnt_tsum_mxu
+from .mxu_scatter import (scatter_add_mxu, scatter_cnt_tsum_mxu,
+                          scatter_cnt_tsum_sorted)
 
 
 # ---------------------------------------------------------------------------
@@ -134,11 +135,14 @@ def event_frame_stream(xytp, n_valid, state, *, height: int, width: int):
 # TAF
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("use_mxu", "precise"))
+@partial(jax.jit, static_argnames=("use_mxu", "precise", "use_sorted"))
 def taf_stream_step(state, xytp, n_valid, any_events=None, *,
-                    use_mxu: bool = True, precise: bool = True):
+                    use_mxu: bool = True, precise: bool = True,
+                    use_sorted: bool = False):
     """Batched single-bin TAF queue update; state (B, H, W, 2, K); t must be
-    pre-normalised to [0, 1] within the bin. MXU scatter by default.
+    pre-normalised to [0, 1] within the bin. MXU scatter by default;
+    use_sorted=True selects the sort-bucketed O(E·Δ) histogram — the fast
+    path for large grids (1MEGAPIXEL), see mxu_scatter.scatter_cnt_tsum_sorted.
 
     any_events: optional (B,) bool override for the empty-bin freeze check —
     spatially-sharded callers pass the GLOBAL flag so a shard that happens to
@@ -155,16 +159,22 @@ def taf_stream_step(state, xytp, n_valid, any_events=None, *,
     P = H * W * 2
     idx = jnp.where(valid, (y * W + x) * 2 + p, jnp.int32(P))
 
-    def one(i, tv, v):
-        if use_mxu:
-            cnt, tsum = scatter_cnt_tsum_mxu(i, tv, v, P, precise)
-        else:
-            oob = jnp.where(v, i, jnp.int32(2**30))
-            cnt = jnp.zeros(P, jnp.float32).at[oob].add(1.0, mode="drop")
-            tsum = jnp.zeros(P, jnp.float32).at[oob].add(tv, mode="drop")
-        return cnt.reshape(H, W, 2), (tsum / (cnt + 1e-8)).reshape(H, W, 2)
+    if use_sorted:
+        cnt, tsum = scatter_cnt_tsum_sorted(idx, (t - 1.0) * valid, valid,
+                                            P, precise)
+        cnt = cnt.reshape(B, H, W, 2)
+        tmean = (tsum / (cnt.reshape(B, -1) + 1e-8)).reshape(B, H, W, 2)
+    else:
+        def one(i, tv, v):
+            if use_mxu:
+                c, s = scatter_cnt_tsum_mxu(i, tv, v, P, precise)
+            else:
+                oob = jnp.where(v, i, jnp.int32(2**30))
+                c = jnp.zeros(P, jnp.float32).at[oob].add(1.0, mode="drop")
+                s = jnp.zeros(P, jnp.float32).at[oob].add(tv, mode="drop")
+            return c.reshape(H, W, 2), (s / (c + 1e-8)).reshape(H, W, 2)
 
-    cnt, tmean = jax.vmap(one)(idx, (t - 1.0) * valid, valid)
+        cnt, tmean = jax.vmap(one)(idx, (t - 1.0) * valid, valid)
     has = cnt > 0
     shifted = jnp.concatenate([state[..., 1:] - 1.0, tmean[..., None]], -1)
     updated = jnp.where(has[..., None], shifted, state - 1.0)

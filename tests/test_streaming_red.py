@@ -67,6 +67,73 @@ def test_mxu_cnt_tsum(rng):
     np.testing.assert_allclose(np.asarray(tsum), ts_ref, atol=1e-4)
 
 
+def _cnt_tsum_ref(idx, tv, valid, size):
+    cnt = np.zeros((len(idx), size))
+    ts = np.zeros((len(idx), size))
+    for b in range(len(idx)):
+        m = valid[b] & (idx[b] >= 0) & (idx[b] < size)
+        np.add.at(cnt[b], idx[b][m], 1.0)
+        np.add.at(ts[b], idx[b][m], tv[b][m])
+    return cnt, ts
+
+
+def test_sorted_scatter_matches_numpy(rng):
+    """scatter_cnt_tsum_sorted across distributions, incl. the chunk-span
+    overflow fallback (events striped across the whole grid so every sorted
+    512-event chunk spans far more than Δ=128 hi rows)."""
+    from frlw_evd_tpu.encode.mxu_scatter import scatter_cnt_tsum_sorted
+
+    size = 40_000                      # ~313 hi rows of 128
+    B, E = 3, 2100                     # E not a multiple of the 512 chunk
+    cases = {
+        "uniform": rng.integers(0, size, (B, E)),
+        "one_cell": np.full((B, E), 12345),
+        "striped": (np.arange(B * E).reshape(B, E) * 997) % size,
+        "low_band": rng.integers(0, 300, (B, E)),
+    }
+    for name, idx in cases.items():
+        idx = idx.astype(np.int32)
+        tv = rng.uniform(-1, 0, (B, E)).astype(np.float32)
+        valid = rng.random((B, E)) < 0.9
+        for precise in (True, False):
+            cnt, tsum = scatter_cnt_tsum_sorted(
+                jnp.asarray(idx), jnp.asarray(tv), jnp.asarray(valid),
+                size, precise)
+            cnt_ref, ts_ref = _cnt_tsum_ref(idx, tv * valid, valid, size)
+            np.testing.assert_allclose(np.asarray(cnt), cnt_ref, atol=1e-6,
+                                       err_msg=f"{name} cnt")
+            atol, rtol = (1e-3, 0) if precise else (2e-2, 5e-3)
+            np.testing.assert_allclose(np.asarray(tsum), ts_ref, atol=atol,
+                                       rtol=rtol,
+                                       err_msg=f"{name} precise={precise}")
+
+
+def test_sorted_scatter_empty_and_oob(rng):
+    from frlw_evd_tpu.encode.mxu_scatter import scatter_cnt_tsum_sorted
+
+    size = 5000
+    idx = rng.integers(-100, size + 100, (2, 600)).astype(np.int32)
+    tv = rng.uniform(-1, 0, (2, 600)).astype(np.float32)
+    valid = np.zeros((2, 600), bool)
+    valid[0] = rng.random(600) < 0.5   # stream 1 entirely invalid
+    cnt, tsum = scatter_cnt_tsum_sorted(jnp.asarray(idx), jnp.asarray(tv),
+                                        jnp.asarray(valid), size)
+    cnt_ref, ts_ref = _cnt_tsum_ref(idx, tv * valid, valid, size)
+    np.testing.assert_allclose(np.asarray(cnt), cnt_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tsum), ts_ref, atol=1e-3)
+    assert np.asarray(cnt)[1].sum() == 0
+
+
+def test_taf_stream_sorted_matches_mxu(rng):
+    B, E, K = 2, 700, 8
+    ev = make_events_batch(rng, B, E)
+    state = jnp.full((B, H, W, 2, K), -6000.0, jnp.float32)
+    nv = jnp.asarray([E, E - 300], jnp.int32)
+    ref = taf_stream_step(state, jnp.asarray(ev), nv, use_mxu=False)
+    out = taf_stream_step(state, jnp.asarray(ev), nv, use_sorted=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # streaming encoders
 # ---------------------------------------------------------------------------
