@@ -54,6 +54,9 @@ class ExpConfig:
     reduce_evaluate: bool = False
     data_axis: str = "data"            # mesh axis for data parallelism
     half_precision: bool = True        # bfloat16 activations on TPU
+    use_ema: bool = False              # eval/best-checkpoint use EMA params
+                                       # (ModelEMA exists but is unused in
+                                       # the reference trainer; opt-in here)
 
     # geometry overrides (None → dataset defaults); used by tests/mini sets
     img_size_override: Optional[Tuple[int, int]] = None

@@ -9,7 +9,10 @@ import jax.numpy as jnp
 
 
 def ema_init(params):
-    return jax.tree.map(lambda p: p, params)
+    # real copies, not aliases: the train step donates the live param
+    # buffers, which would leave an aliasing EMA tree pointing at deleted
+    # arrays after the first update
+    return jax.tree.map(jnp.copy, params)
 
 
 def ema_update(ema_params, params, updates: jnp.ndarray,

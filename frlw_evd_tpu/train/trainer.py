@@ -394,6 +394,13 @@ class Trainer:
             self.eval_step = make_eval_step(cfg.strides,
                                             half_precision=cfg.half_precision)
         self.dropout_rng = jax.random.key(cfg.seed + 1)
+        if cfg.use_ema:
+            from .ema import ema_init, ema_update
+
+            self.ema_params = ema_init(self.state.params)
+            self._ema_step = jax.jit(ema_update)
+        else:
+            self.ema_params = None
         n_params = sum(p.size for p in jax.tree.leaves(self.state.params))
         print(f"{n_params:,} total parameters.")
 
@@ -413,6 +420,9 @@ class Trainer:
             self.dropout_rng, step_rng = jax.random.split(self.dropout_rng)
             self.state, losses = self.train_step(self.state, batch[0],
                                                  batch[1], step_rng)
+            if self.ema_params is not None:
+                self.ema_params = self._ema_step(
+                    self.ema_params, self.state.params, self.state.step)
             losses_acc.append(losses)
         if losses_acc:
             mean = {k: float(np.mean([float(l[k]) for l in losses_acc]))
@@ -432,9 +442,12 @@ class Trainer:
             from ..models.seq_nms import SeqNMSState
 
             seq_state = SeqNMSState()
+        # evaluate the EMA weights when enabled (ModelEMA semantics)
+        eval_state = (self.state.replace(params=self.ema_params)
+                      if self.ema_params is not None else self.state)
         for imgs, labels, names, tss in self.val_loader:
             start = time.time()
-            dets, keep = self.eval_step(self.state, jnp.asarray(imgs))
+            dets, keep = self.eval_step(eval_state, jnp.asarray(imgs))
             jax.block_until_ready(dets)
             infer_time = time.time() - start
             outputs = finalize_detections(dets, keep)
@@ -514,8 +527,11 @@ class Trainer:
                                               self.epoch)
                 if result[0] > self.max_score:
                     self.max_score = result[0]
+                    best_state = (self.state.replace(params=self.ema_params)
+                                  if self.ema_params is not None
+                                  else self.state)
                     save_checkpoint(os.path.join(self.ckpt_dir, "best_epoch"),
-                                    self.state, self.epoch, self.max_score)
+                                    best_state, self.epoch, self.max_score)
                 print(f"Epoch {self.epoch}: best score {self.max_score}")
             self.epoch += 1
 

@@ -89,6 +89,24 @@ def test_checkpoint_roundtrip(mini, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_ema(mini, tmp_path):
+    """use_ema keeps an EMA shadow updated per step, evaluates with it and
+    writes best_epoch from it (ModelEMA semantics the reference ships but
+    never wires, core/yolox/utils/ema.py)."""
+    t = tiny_trainer(mini, log_path=str(tmp_path))
+    t.cfg.use_ema = True
+    t.cfg.max_epoch_to_stop = 1
+    t.cfg.reduce_evaluate = False
+    t.train()
+    assert t.ema_params is not None
+    # EMA lags the live params (decay ramp > 0 after the first updates):
+    # trees align and differ by a small nonzero amount
+    d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a)
+                                               - np.asarray(b)).max()),
+                     t.ema_params, t.state.params)
+    assert 0 < max(jax.tree.leaves(d)) < 1.0
+
+
 def test_checkpoint_crash_safety(mini, tmp_path):
     """Async saves commit to versioned dirs; meta.json is published only once
     the data is durable, always points at an existing dir, and stale versions
