@@ -57,6 +57,9 @@ class ExpConfig:
     use_ema: bool = False              # eval/best-checkpoint use EMA params
                                        # (ModelEMA exists but is unused in
                                        # the reference trainer; opt-in here)
+    remat: bool = False                # jax.checkpoint the forward pass:
+                                       # trades recompute FLOPs for
+                                       # activation memory (big batch / 1Mpx)
 
     # geometry overrides (None → dataset defaults); used by tests/mini sets
     img_size_override: Optional[Tuple[int, int]] = None

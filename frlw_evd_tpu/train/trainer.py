@@ -208,23 +208,32 @@ def make_memory_eval_step(strides, max_detections=200, half_precision=False):
     return eval_step
 
 
-def make_train_step(strides, num_classes, radius, half_precision=False):
+def make_train_step(strides, num_classes, radius, half_precision=False,
+                    remat=False):
     """Returns a jitted (state, imgs, labels, dropout_rng) → (state, metrics).
 
     Under a mesh with the batch sharded over `data`, jit/GSPMD adds the
-    gradient all-reduce automatically (params replicated)."""
+    gradient all-reduce automatically (params replicated). remat=True
+    rematerialises the forward pass in the backward (jax.checkpoint),
+    trading recompute FLOPs for activation memory on a fixed HBM budget
+    (verified numerically identical to the plain step on v5e)."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, imgs, labels, dropout_rng):
         if half_precision:
             imgs = imgs.astype(jnp.bfloat16)
 
-        def loss_fn(params):
+        def forward(params):
             outs, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 imgs, True, mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng})
-            outs = [o.astype(jnp.float32) for o in outs]
+            return [o.astype(jnp.float32) for o in outs], updates
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            outs, updates = forward(params)
             losses = detector_loss(outs, labels, strides, num_classes, radius)
             return losses["total_loss"], (losses, updates["batch_stats"])
 
@@ -390,7 +399,8 @@ class Trainer:
         else:
             self.train_step = make_train_step(cfg.strides, cfg.num_classes,
                                               cfg.center_radius,
-                                              cfg.half_precision)
+                                              cfg.half_precision,
+                                              remat=cfg.remat)
             self.eval_step = make_eval_step(cfg.strides,
                                             half_precision=cfg.half_precision)
         self.dropout_rng = jax.random.key(cfg.seed + 1)
@@ -405,18 +415,36 @@ class Trainer:
         print(f"{n_params:,} total parameters.")
 
     # -- loops -------------------------------------------------------------
-    def train_epoch(self):
-        losses_acc = []
+    def _prefetched_batches(self, lookahead: int = 2):
+        """Device transfers dispatched `lookahead` batches ahead of the
+        consuming step (jax device_put is async, so the host→HBM copy of
+        batch i+1 overlaps step i's compute)."""
+        import collections
+
         is_v3 = self.cfg.family == "yolov3"
         if is_v3:
             from ..models.yolov3 import gt_creator
-        for imgs, labels, names, tss in self.train_loader:
+
+        def put(item):
+            imgs, labels, names, tss = item
             if is_v3:
                 labels = gt_creator(self.cfg.img_size[0], self.cfg.strides,
                                     labels)
-            batch = shard_batch(self.mesh, (jnp.asarray(imgs),
-                                            jnp.asarray(labels)),
-                                self.cfg.data_axis)
+            return shard_batch(self.mesh,
+                               (jnp.asarray(imgs), jnp.asarray(labels)),
+                               self.cfg.data_axis)
+
+        queue = collections.deque()
+        for item in self.train_loader:
+            queue.append(put(item))
+            if len(queue) >= lookahead:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
+    def train_epoch(self):
+        losses_acc = []
+        for batch in self._prefetched_batches():
             self.dropout_rng, step_rng = jax.random.split(self.dropout_rng)
             self.state, losses = self.train_step(self.state, batch[0],
                                                  batch[1], step_rng)

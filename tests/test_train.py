@@ -89,6 +89,34 @@ def test_checkpoint_roundtrip(mini, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_remat_train_step_matches(mini, tmp_path):
+    """remat=True must change memory behavior only — losses and the updated
+    params equal the non-remat step bitwise-closely."""
+    from frlw_evd_tpu.train.trainer import make_train_step
+
+    t = tiny_trainer(mini, log_path=str(tmp_path))
+    t.create_datasets()
+    t.build(1)
+    imgs = jax.random.uniform(jax.random.key(3), (2, INPUT_HW[0],
+                                                  INPUT_HW[1], 10))
+    labels = np.zeros((2, 80, 5), np.float32)
+    labels[:, 0] = [0, 20, 20, 12, 12]
+    args = (jnp.asarray(imgs), jnp.asarray(labels), jax.random.key(0))
+
+    outs = {}
+    for remat in (False, True):
+        step = make_train_step(t.cfg.strides, t.cfg.num_classes,
+                               t.cfg.center_radius, t.cfg.half_precision,
+                               remat=remat)
+        state = jax.tree.map(jnp.copy, t.state)
+        new_state, losses = step(state, *args)
+        outs[remat] = (jax.tree.map(np.asarray, new_state.params),
+                       float(losses["total_loss"]))
+    np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 outs[False][0], outs[True][0])
+
+
 def test_trainer_ema(mini, tmp_path):
     """use_ema keeps an EMA shadow updated per step, evaluates with it and
     writes best_epoch from it (ModelEMA semantics the reference ships but
