@@ -26,13 +26,17 @@ def shard_taf_state(mesh: Mesh, state: jnp.ndarray,
 
 
 def make_spatial_taf_step(mesh: Mesh, height: int, axis: str = "data",
-                          use_mxu: bool = True):
+                          use_mxu: bool = True, batch_axis=None):
     """Returns a jitted (state_sharded, events_replicated, n_valid) → state
     step where each mesh shard updates its own H-slice of the queue.
 
     Events carry GLOBAL y coordinates; each shard rebases y into its local
     range and lets the scatter's OOB drop discard foreign events — halo-free,
     zero collectives.
+
+    batch_axis: optional second mesh axis to shard the batch dim over —
+    combined data x spatial parallelism on a 2-D mesh (each (b, h) tile of
+    the queue lives on one device; events shard over batch only).
     """
     from ..encode.streaming import taf_stream_step
 
@@ -59,7 +63,7 @@ def make_spatial_taf_step(mesh: Mesh, height: int, axis: str = "data",
 
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(None, axis), P(), P()),
-        out_specs=P(None, axis),
+        in_specs=(P(batch_axis, axis), P(batch_axis), P(batch_axis)),
+        out_specs=P(batch_axis, axis),
         check_rep=False)
     return jax.jit(step)

@@ -54,3 +54,31 @@ def test_spatial_taf_two_steps_state_carry(rng):
         state = step(state, ev, nv)
         ref = taf_stream_step(ref, ev, nv, use_mxu=False)
     np.testing.assert_allclose(np.asarray(state), np.asarray(ref), atol=1e-4)
+
+
+def test_spatial_plus_data_parallel_2d_mesh(rng):
+    """Combined dp x sp on a (2, 4) mesh: batch over 'data', H over 'model'
+    — each (b, h) tile of the queue lives on one device; result matches the
+    unsharded step exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B, E, H, W, K = 4, 512, 32, 48, 4   # B % 2 == 0, H % 4 == 0
+    ev = np.zeros((B, E, 4), np.float32)
+    ev[..., 0] = rng.integers(0, W, (B, E))
+    ev[..., 1] = rng.integers(0, H, (B, E))
+    ev[..., 2] = rng.uniform(0, 1, (B, E))
+    ev[..., 3] = rng.integers(0, 2, (B, E))
+    nv = jnp.asarray([E, E - 100, E - 200, 0], jnp.int32)  # one empty stream
+    state0 = jnp.full((B, H, W, 2, K), -6000.0, jnp.float32)
+
+    ref = taf_stream_step(state0, jnp.asarray(ev), nv, use_mxu=False)
+
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(2, 4))
+    step = make_spatial_taf_step(mesh, H, axis="model", use_mxu=False,
+                                 batch_axis="data")
+    sharded = jax.device_put(state0,
+                             NamedSharding(mesh, P("data", "model")))
+    out = step(sharded, jax.device_put(jnp.asarray(ev),
+                                       NamedSharding(mesh, P("data"))),
+               jax.device_put(nv, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
