@@ -68,9 +68,13 @@ def event_volume_stream(xytp, n_valid, state: Optional[EVState], now, *,
         t_star = bins * (t - (now - events_window)) / events_window
         channels = bins
     else:
-        t_star = (t - (now - events_window)) / events_window * bins
+        # position within the trailing 2-bin adder: the reference computes
+        # t_star = (t - iter + infer_time) / events_window * bins with iter =
+        # window END (sparse_ops.py:15, fetcher.py:43-53), i.e. t_star in
+        # [0, bins*infer/window]; channel 0 merges into the last kept bin and
+        # channel 1 becomes the new bin.
         channels = 2
-        t_star = t_star - (bins - channels)  # position within the last 2 bins
+        t_star = (t - (now - infer_time)) / events_window * bins
 
     k0 = jnp.floor(t_star).astype(jnp.int32)
     w1 = t_star - k0
