@@ -1,27 +1,39 @@
-"""Self-contained COCO bbox mean-AP implementation (numpy).
+"""Self-contained COCO bbox mean-AP implementation (numpy + native matcher).
 
 pycocotools is not available in this environment, so this module implements
 the standard COCO detection evaluation protocol from scratch, producing the
-same six summary stats the reference prints (coco_eval.py:107-113):
+same six summary stats the reference prints
+(evaluate/src/metrics/coco_eval.py:107-113 via pycocotools):
   stats[0] AP@[.5:.95] | stats[1] AP50 | stats[2] AP75
   stats[3] AP small    | stats[4] AP medium | stats[5] AP large
 
 Protocol (matching COCOeval 'bbox' with default params):
   * IoU thresholds 0.50:0.05:0.95, recall grid 0:0.01:1 (101 points)
   * area ranges all/[0,32²]/[32²,96²]/[96²,1e10], maxDets 100
-  * greedy per-image per-category matching in descending score order; each
-    detection takes the highest-IoU unmatched gt above threshold; gts outside
-    the area range are "ignored" (match allowed, excluded from counts);
-    unmatched detections outside the area range are ignored
+  * greedy per-image per-category matching in descending score order with
+    pycocotools tie-breaks (strict '<' skip — a later equal-IoU gt wins;
+    ignored gts stably sorted after real ones; scan breaks at the first
+    ignored gt once a real one is matched); gts outside the area range are
+    "ignored" (match allowed, excluded from counts); unmatched detections
+    outside the area range are ignored
   * precision envelope (monotone non-increasing) sampled at the recall grid,
     averaged over categories and IoU thresholds
 
-Inputs are plain per-image box lists; no COCO-JSON detour is needed.
+Production path: IoUs are computed ONCE per (image, category) and the greedy
+match over all 10 thresholds × 4 area ranges runs in one native C++ call
+(native/kernels.cpp coco_match, pure-numpy fallback in utils/native.py) —
+the per-epoch validation loop stays sub-minute even at GEN1 test-split scale
+(hundreds of thousands of windows).
+
+Inputs are plain per-image box lists in the Prophesee 8-column layout
+[t, x, y, w, h, class_id, track_id, class_confidence]; no COCO-JSON detour.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+from ..utils import native
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
@@ -31,6 +43,7 @@ AREA_RNGS = {
     "medium": (32.0**2, 96.0**2),
     "large": (96.0**2, 1e10),
 }
+_AREA_KEYS = ("all", "small", "medium", "large")
 MAX_DETS = 100
 
 
@@ -51,66 +64,13 @@ def iou_xywh(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _evaluate_img(gt_boxes, gt_areas, dt_boxes, dt_scores, dt_areas, area_rng):
-    """Match one (image, category): returns per-threshold match/ignore arrays.
-
-    gt/dt boxes are xywh. Returns dict or None when the pair is empty.
-    """
-    G, D = len(gt_boxes), len(dt_boxes)
-    if G == 0 and D == 0:
-        return None
-    a0, a1 = area_rng
-    gt_ig = (gt_areas < a0) | (gt_areas > a1)
-    # gts sorted: non-ignored first (stable)
-    g_order = np.argsort(gt_ig, kind="stable")
-    gt_boxes = gt_boxes[g_order]
-    gt_ig = gt_ig[g_order]
-    # dts sorted by score desc, truncated to maxDets
-    d_order = np.argsort(-dt_scores, kind="stable")[:MAX_DETS]
-    dt_boxes = dt_boxes[d_order]
-    dt_scores = dt_scores[d_order]
-    dt_areas = dt_areas[d_order]
-    D = len(dt_boxes)
-
-    ious = iou_xywh(dt_boxes, gt_boxes)
-    T = len(IOU_THRS)
-    dtm = np.zeros((T, D), dtype=np.int64)     # 1-based gt index, 0 = none
-    gtm = np.zeros((T, G), dtype=np.int64)
-    dt_ig = np.zeros((T, D), dtype=bool)
-
-    for ti, thr in enumerate(IOU_THRS):
-        for di in range(D):
-            best_iou = min(thr, 1 - 1e-10)
-            m = -1
-            for gi in range(G):
-                if gtm[ti, gi] > 0:
-                    continue
-                # past a matched non-ignored gt, ignored gts follow: stop
-                if m > -1 and not gt_ig[m] and gt_ig[gi]:
-                    break
-                if ious[di, gi] < best_iou:
-                    continue
-                best_iou = ious[di, gi]
-                m = gi
-            if m == -1:
-                continue
-            dtm[ti, di] = m + 1
-            gtm[ti, m] = di + 1
-            dt_ig[ti, di] = gt_ig[m]
-
-    out_of_rng = (dt_areas < a0) | (dt_areas > a1)
-    dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
-    return {
-        "dt_scores": dt_scores,
-        "dtm": dtm,
-        "dt_ig": dt_ig,
-        "num_gt": int((~gt_ig).sum()),
-    }
-
-
 class COCOMeanAP:
     """Accumulates per-image GT/DT (in the Prophesee 8-column format) and
-    computes the six COCO summary stats."""
+    computes the six COCO summary stats.
+
+    Note: detection score is read from column 7 (class_confidence per
+    BBOX_DTYPE); the reference's `_to_coco_format` reads column 6 of its own
+    7-column detection rows — documented deviation, same value."""
 
     def __init__(self, num_classes: int):
         self.num_classes = num_classes
@@ -121,78 +81,101 @@ class COCOMeanAP:
         self.gts.append(np.asarray(gt_boxes, dtype=np.float64))
         self.dts.append(np.asarray(dt_boxes, dtype=np.float64))
 
-    def _per_class(self, cat: int, area_key: str):
-        """Matching results for one category over all images."""
-        area_rng = AREA_RNGS[area_key]
-        results = []
-        for gt, dt in zip(self.gts, self.dts):
-            g = gt[gt[:, 5] == cat] if len(gt) else gt
-            d = dt[dt[:, 5] == cat] if len(dt) else dt
-            r = _evaluate_img(
-                g[:, 1:5] if len(g) else np.zeros((0, 4)),
-                (g[:, 3] * g[:, 4]) if len(g) else np.zeros(0),
-                d[:, 1:5] if len(d) else np.zeros((0, 4)),
-                d[:, 7] if len(d) else np.zeros(0),
-                (d[:, 3] * d[:, 4]) if len(d) else np.zeros(0),
-                area_rng,
-            )
-            if r is not None:
-                results.append(r)
-        return results
+    # -- internals ----------------------------------------------------------
 
-    def _accumulate(self, area_key: str):
-        """precision (T, R, K) for one area range at maxDets=100."""
-        T, R, K = len(IOU_THRS), len(REC_THRS), self.num_classes
-        precision = -np.ones((T, R, K))
-        recall = -np.ones((T, K))
+    @staticmethod
+    def _concat(rows_list):
+        """list of (N, 8) → ((N_total, 8), img_id (N_total,) int64)."""
+        lens = np.array([len(r) for r in rows_list], np.int64)
+        if lens.sum() == 0:
+            return np.zeros((0, 8)), np.zeros(0, np.int64), lens
+        ncol = next(r.shape[1] for r in rows_list if len(r))
+        cat = np.concatenate(
+            [r if len(r) else np.zeros((0, ncol)) for r in rows_list])
+        img = np.repeat(np.arange(len(rows_list), dtype=np.int64), lens)
+        return cat, img, lens
+
+    def _compute_precision(self):
+        """precision (A, T, R, K); -1 where undefined (no gt)."""
+        n_img = len(self.gts)
+        A, T, R, K = (len(_AREA_KEYS), len(IOU_THRS), len(REC_THRS),
+                      self.num_classes)
+        rngs = np.array([AREA_RNGS[k] for k in _AREA_KEYS], np.float64)
+        precision = -np.ones((A, T, R, K))
+
+        gt_all, gt_img, _ = self._concat(self.gts)
+        dt_all, dt_img, _ = self._concat(self.dts)
+
         for k in range(K):
-            results = self._per_class(k, area_key)
-            if not results:
-                continue
-            npig = sum(r["num_gt"] for r in results)
-            if npig == 0:
-                continue
-            scores = np.concatenate([r["dt_scores"] for r in results])
-            order = np.argsort(-scores, kind="mergesort")
-            dtm = np.concatenate([r["dtm"] for r in results], axis=1)[:, order]
-            dt_ig = np.concatenate([r["dt_ig"] for r in results], axis=1)[:, order]
-            tps = (dtm > 0) & ~dt_ig
-            fps = (dtm == 0) & ~dt_ig
-            tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
-            fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
-            for t in range(T):
-                tp, fp = tp_sum[t], fp_sum[t]
-                nd = len(tp)
-                rc = tp / npig
+            gsel = gt_all[:, 5] == k
+            g_boxes = np.ascontiguousarray(gt_all[gsel, 1:5])
+            g_off = np.zeros(n_img + 1, np.int64)
+            np.cumsum(np.bincount(gt_img[gsel], minlength=n_img),
+                      out=g_off[1:])
+
+            dsel = dt_all[:, 5] == k
+            d_boxes = dt_all[dsel, 1:5]
+            d_scores = dt_all[dsel, 7]
+            d_img = dt_img[dsel]
+            # per-image descending-score stable sort + maxDets truncation
+            order = np.lexsort((np.arange(len(d_scores)), -d_scores, d_img))
+            d_boxes, d_scores, d_img = (d_boxes[order], d_scores[order],
+                                        d_img[order])
+            counts = np.bincount(d_img, minlength=n_img)
+            off = np.zeros(n_img + 1, np.int64)
+            np.cumsum(counts, out=off[1:])
+            rank = np.arange(len(d_img)) - off[d_img]
+            keep = rank < MAX_DETS
+            d_boxes = np.ascontiguousarray(d_boxes[keep])
+            d_scores = d_scores[keep]
+            d_img = d_img[keep]
+            d_off = np.zeros(n_img + 1, np.int64)
+            np.cumsum(np.bincount(d_img, minlength=n_img), out=d_off[1:])
+
+            codes, npig = native.coco_match(d_boxes, d_off, g_boxes, g_off,
+                                            IOU_THRS, rngs)
+
+            # global accumulate: all detections sorted by score desc (stable)
+            order2 = np.argsort(-d_scores, kind="mergesort")
+            nd = len(order2)
+            codes = codes[:, :, order2]
+            # int32 accumulate: np.cumsum over bool with dtype=float64 is
+            # ~50x slower than int32 (numpy pairwise-sum path)
+            tp_sum = np.cumsum(codes == 1, axis=2, dtype=np.int32)
+            fp_sum = np.cumsum(codes == 0, axis=2, dtype=np.int32)
+
+            for a in range(A):
+                if npig[a] == 0:
+                    continue
+                if nd == 0:
+                    precision[a, :, :, k] = 0.0
+                    continue
+                tp = tp_sum[a].astype(np.float64)
+                fp = fp_sum[a].astype(np.float64)
+                rc = tp / npig[a]                               # (T, nd)
                 pr = tp / np.maximum(tp + fp, np.spacing(1))
-                recall[t, k] = rc[-1] if nd else 0.0
-                # precision envelope
-                pr = pr.tolist()
-                for i in range(nd - 1, 0, -1):
-                    if pr[i] > pr[i - 1]:
-                        pr[i - 1] = pr[i]
-                inds = np.searchsorted(rc, REC_THRS, side="left")
-                q = np.zeros(R)
-                for ri, pi in enumerate(inds):
-                    if pi < nd:
-                        q[ri] = pr[pi]
-                precision[t, :, k] = q
-        return precision, recall
+                pr = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
+                for t in range(T):
+                    inds = np.searchsorted(rc[t], REC_THRS, side="left")
+                    valid = inds < nd
+                    precision[a, t, :, k] = np.where(
+                        valid, pr[t][np.minimum(inds, nd - 1)], 0.0)
+        return precision
 
     def summarize(self):
         """Returns the 6-stat tuple (mAP, AP50, AP75, APs, APm, APl)."""
-        p_all, _ = self._accumulate("all")
+        precision = self._compute_precision()
 
         def mean_valid(p):
             valid = p[p > -1]
             return float(valid.mean()) if valid.size else -1.0
 
-        stats = [
+        p_all = precision[0]
+        return (
             mean_valid(p_all),
             mean_valid(p_all[np.isclose(IOU_THRS, 0.5)]),
             mean_valid(p_all[np.isclose(IOU_THRS, 0.75)]),
-        ]
-        for key in ("small", "medium", "large"):
-            p, _ = self._accumulate(key)
-            stats.append(mean_valid(p))
-        return tuple(stats)
+            mean_valid(precision[1]),
+            mean_valid(precision[2]),
+            mean_valid(precision[3]),
+        )

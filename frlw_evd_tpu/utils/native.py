@@ -43,6 +43,10 @@ def _load():
     lib.compute_area.argtypes = [dp, i64, dp]
     lib.compute_overlap.argtypes = [dp, i64, dp, i64, dp]
     lib.event_queue_tensor.argtypes = [dp, i64, i64, i64, i64, i64, i64, fp]
+    ip = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.coco_match.argtypes = [dp, ip, dp, ip, i64, dp, i64, dp, i64,
+                               i8p, ip]
     _lib = lib
     return _lib
 
@@ -78,6 +82,93 @@ def compute_overlap(boxes: np.ndarray, query: np.ndarray) -> np.ndarray:
     out = np.zeros((len(boxes), len(query)), np.float64)
     lib.compute_overlap(boxes, len(boxes), query, len(query), out)
     return out
+
+
+def coco_match(dt_boxes, dt_off, gt_boxes, gt_off, iou_thrs, area_rngs):
+    """Greedy COCO matching for one category over all images at once.
+
+    dt_boxes (D, 4) xywh pre-sorted per image by descending score and
+    truncated to maxDets; dt_off/gt_off (n_img+1) int64 row offsets.
+    Returns (codes (A, T, D) int8 [1 tp / 0 fp / 2 ignored],
+             npig (A,) int64 non-ignored gt counts).
+    Falls back to a pure-python implementation without the native lib.
+    """
+    dt_boxes = np.ascontiguousarray(dt_boxes, np.float64)
+    gt_boxes = np.ascontiguousarray(gt_boxes, np.float64)
+    dt_off = np.ascontiguousarray(dt_off, np.int64)
+    gt_off = np.ascontiguousarray(gt_off, np.int64)
+    iou_thrs = np.ascontiguousarray(iou_thrs, np.float64)
+    area_rngs = np.ascontiguousarray(area_rngs, np.float64)
+    T, A = len(iou_thrs), len(area_rngs)
+    D = len(dt_boxes)
+    codes = np.zeros((A, T, D), np.int8)
+    npig = np.zeros(A, np.int64)
+    lib = _load()
+    if lib is not None:
+        lib.coco_match(dt_boxes, dt_off, gt_boxes, gt_off,
+                       len(dt_off) - 1, iou_thrs, T, area_rngs, A,
+                       codes, npig)
+        return codes, npig
+    return _coco_match_py(dt_boxes, dt_off, gt_boxes, gt_off, iou_thrs,
+                          area_rngs, codes, npig)
+
+
+def _coco_match_py(dt_boxes, dt_off, gt_boxes, gt_off, iou_thrs, area_rngs,
+                   codes, npig):
+    """Numpy fallback with identical tie-break semantics (pycocotools
+    evaluateImg: strict '<' skip, later equal IoU wins, break at the first
+    ignored gt after a real match)."""
+    for img in range(len(dt_off) - 1):
+        d0, d1 = dt_off[img], dt_off[img + 1]
+        g0, g1 = gt_off[img], gt_off[img + 1]
+        dts = dt_boxes[d0:d1]
+        gts = gt_boxes[g0:g1]
+        D, G = len(dts), len(gts)
+        if D == 0 and G == 0:
+            continue
+        gt_area = gts[:, 2] * gts[:, 3]
+        dt_area = dts[:, 2] * dts[:, 3]
+        if D and G:
+            x1 = np.maximum(dts[:, None, 0], gts[None, :, 0])
+            y1 = np.maximum(dts[:, None, 1], gts[None, :, 1])
+            x2 = np.minimum(dts[:, None, 0] + dts[:, None, 2],
+                            gts[None, :, 0] + gts[None, :, 2])
+            y2 = np.minimum(dts[:, None, 1] + dts[:, None, 3],
+                            gts[None, :, 1] + gts[None, :, 3])
+            inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+            union = dt_area[:, None] + gt_area[None, :] - inter
+            iou = np.where((x2 > x1) & (y2 > y1) & (union > 0),
+                           inter / np.maximum(union, 1e-300), 0.0)
+        else:
+            iou = np.zeros((D, G))
+        for a, (lo, hi) in enumerate(area_rngs):
+            ig = (gt_area < lo) | (gt_area > hi)
+            order = np.concatenate([np.flatnonzero(~ig),
+                                    np.flatnonzero(ig)]).astype(np.int64)
+            n_real = int((~ig).sum())
+            npig[a] += n_real
+            for t, thr in enumerate(iou_thrs):
+                gtm = np.full(G, -1, np.int64)
+                for d in range(D):
+                    best = min(thr, 1 - 1e-10)
+                    m = -1
+                    for oi in range(G):
+                        if gtm[oi] >= 0:
+                            continue
+                        if m > -1 and oi >= n_real and m < n_real:
+                            break
+                        v = iou[d, order[oi]]
+                        if v < best:
+                            continue
+                        best = v
+                        m = oi
+                    if m == -1:
+                        codes[a, t, d0 + d] = 2 if (dt_area[d] < lo or
+                                                    dt_area[d] > hi) else 0
+                    else:
+                        gtm[m] = d
+                        codes[a, t, d0 + d] = 2 if m >= n_real else 1
+    return codes, npig
 
 
 def event_queue_tensor(events: np.ndarray, batch: int, height: int,

@@ -100,4 +100,112 @@ void event_queue_tensor(const double* events, int64_t n_events, int64_t batch,
   }
 }
 
+// COCO greedy matching for ONE category across all images, IoU thresholds
+// and area ranges in a single call (the hot loop of COCOeval.evaluateImg,
+// reference evaluate/src/metrics/coco_eval.py:89-113 via pycocotools).
+//
+// dt_boxes (D_total, 4) xywh, pre-sorted per image by descending score and
+// pre-truncated to maxDets; gt_boxes (G_total, 4) xywh. dt_off / gt_off are
+// (n_img + 1) row offsets. iou_thrs (T); area_rngs (A, 2) [lo, hi].
+//
+// codes out (A, T, D_total) int8: 1 = TP, 0 = FP, 2 = ignored.
+// npig out (A) int64: non-ignored gt count per area range.
+//
+// IoU is computed once per image and reused across all A x T matchings;
+// tie-breaks replicate pycocotools exactly (strict '<' skip, so an equal
+// IoU later in gt order takes the match; ignored gts sorted after real
+// ones with a stable partition; the scan breaks at the first ignored gt
+// once a real gt is matched).
+void coco_match(const double* dt_boxes, const int64_t* dt_off,
+                const double* gt_boxes, const int64_t* gt_off,
+                int64_t n_img, const double* iou_thrs, int64_t T,
+                const double* area_rngs, int64_t A, int8_t* codes,
+                int64_t* npig) {
+  const int64_t d_total = dt_off[n_img];
+  for (int64_t a = 0; a < A; ++a) npig[a] = 0;
+
+  std::vector<double> iou;       // D x G for the current image
+  std::vector<double> gt_area, dt_area;
+  std::vector<int64_t> order;    // gt order: non-ignored first (stable)
+  std::vector<unsigned char> gig;
+  std::vector<int64_t> gtm;
+
+  for (int64_t img = 0; img < n_img; ++img) {
+    const int64_t d0 = dt_off[img], d1 = dt_off[img + 1];
+    const int64_t g0 = gt_off[img], g1 = gt_off[img + 1];
+    const int64_t D = d1 - d0, G = g1 - g0;
+    if (D == 0 && G == 0) continue;
+
+    gt_area.resize(G);
+    for (int64_t g = 0; g < G; ++g) {
+      const double* b = gt_boxes + 4 * (g0 + g);
+      gt_area[g] = b[2] * b[3];
+    }
+    dt_area.resize(D);
+    for (int64_t d = 0; d < D; ++d) {
+      const double* b = dt_boxes + 4 * (d0 + d);
+      dt_area[d] = b[2] * b[3];
+    }
+    iou.resize(D * G);
+    for (int64_t d = 0; d < D; ++d) {
+      const double* db = dt_boxes + 4 * (d0 + d);
+      const double dx1 = db[0], dy1 = db[1];
+      const double dx2 = db[0] + db[2], dy2 = db[1] + db[3];
+      for (int64_t g = 0; g < G; ++g) {
+        const double* gb = gt_boxes + 4 * (g0 + g);
+        const double iw =
+            std::min(dx2, gb[0] + gb[2]) - std::max(dx1, gb[0]);
+        const double ih =
+            std::min(dy2, gb[1] + gb[3]) - std::max(dy1, gb[1]);
+        double v = 0.0;
+        if (iw > 0 && ih > 0) {
+          const double ua = dt_area[d] + gt_area[g] - iw * ih;
+          if (ua > 0) v = iw * ih / ua;
+        }
+        iou[d * G + g] = v;
+      }
+    }
+
+    for (int64_t a = 0; a < A; ++a) {
+      const double lo = area_rngs[2 * a], hi = area_rngs[2 * a + 1];
+      gig.resize(G);
+      order.clear();
+      for (int64_t g = 0; g < G; ++g)
+        if (gt_area[g] >= lo && gt_area[g] <= hi) order.push_back(g);
+      const int64_t n_real = static_cast<int64_t>(order.size());
+      npig[a] += n_real;
+      for (int64_t g = 0; g < G; ++g)
+        if (gt_area[g] < lo || gt_area[g] > hi) order.push_back(g);
+      for (int64_t i = 0; i < G; ++i) gig[i] = (i >= n_real);
+
+      for (int64_t t = 0; t < T; ++t) {
+        int8_t* code_row = codes + (a * T + t) * d_total + d0;
+        gtm.assign(G, -1);
+        for (int64_t d = 0; d < D; ++d) {
+          double best = std::min(iou_thrs[t], 1.0 - 1e-10);
+          int64_t m = -1;
+          for (int64_t oi = 0; oi < G; ++oi) {
+            if (gtm[oi] >= 0) continue;
+            // m and oi are positions in `order` (real gts first), so the
+            // ignore flag is position-indexed
+            if (m > -1 && !gig[m] && gig[oi]) break;
+            const double v = iou[d * G + order[oi]];
+            if (v < best) continue;
+            best = v;
+            m = oi;
+          }
+          if (m == -1) {
+            // unmatched: FP unless area out of range
+            code_row[d] =
+                (dt_area[d] < lo || dt_area[d] > hi) ? int8_t{2} : int8_t{0};
+            continue;
+          }
+          gtm[m] = d;
+          code_row[d] = gig[m] ? int8_t{2} : int8_t{1};
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"
