@@ -1,22 +1,21 @@
-"""Pallas TPU kernel for the event-histogram scatter (experimental).
+"""Pallas TPU kernels for the event-histogram scatter.
 
-Same algorithm as encode/mxu_scatter.py (scatter as one-hot matmuls), with the
-one-hot operands generated inside VMEM per tile and fed to the MXU, so the
-~38 MB/batch-item of one-hot tensors the XLA formulation materialises in HBM
-is never written.
+Two generations:
 
-STATUS: numerically correct (tests/test_pallas_scatter.py) but currently much
-slower than the XLA dot_general formulation on v5e (~220 ms vs ~4.4 ms per
-batch-32 step) — the Mosaic lowering of the per-chunk fori_loop with
-read-modify-write VMEM accumulation does not pipeline onto the MXU yet.
-encode/mxu_scatter.py remains the production path; this kernel is kept as the
-starting point for a hand-scheduled version (double-buffered chunk DMA,
-accumulator in registers).
+* `scatter_cnt_tsum_pallas` — dense one-hot formulation (kept for parity
+  tests; O(E·size) MACs, slower than the XLA dot_general path on v5e).
+* `scatter_cnt_tsum_pallas_sorted` — the production kernel: sort the cell
+  indices (jax.lax.sort, outside the kernel), then accumulate per-chunk
+  banded one-hot matmuls straight into a VMEM-resident dense accumulator.
+  The (CHUNK, Δ)/(CHUNK, 128) one-hot operands live only in VMEM — the XLA
+  sorted formulation (mxu_scatter.scatter_cnt_tsum_sorted) materialises
+  ~6 GB/window of one-hots through HBM at 1MEGAPIXEL scale, which is where
+  its time goes. Events whose sorted chunk spans more than Δ hi-rows fall
+  back to one XLA scatter pass, guarded by lax.cond (same scheme as the XLA
+  sorted path).
 
-Layout: grid = (batch,); per cell, loop event chunks; build (CHUNK, LANES)
-value one-hots once per chunk and (CHUNK, TILE_HI) hi one-hots per tile;
-contract on the MXU into a VMEM (n_hi, 3*LANES) accumulator
-[count | t_hi | t_lo].
+Reference behavior being accelerated: the index_add_ event histogram inside
+generate_taf.py:23-27 / data/sparse_ops.py:80-85.
 """
 
 from __future__ import annotations
@@ -31,6 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 CHUNK = 1024
 TILE_HI = 256
+
+# sorted-banded kernel parameters
+S_CHUNK = 1024        # events per chunk
+S_DELTA = 256         # hi-row band per chunk (snap granularity Δ/2)
 
 
 def _kernel(hi_ref, lo_ref, vmask_ref, th_ref, tl_ref, out_ref, acc_ref):
@@ -78,7 +81,7 @@ def _kernel(hi_ref, lo_ref, vmask_ref, th_ref, tl_ref, out_ref, acc_ref):
 @partial(jax.jit, static_argnames=("size",))
 def scatter_cnt_tsum_pallas(idx: jnp.ndarray, tvals: jnp.ndarray,
                             valid: jnp.ndarray, size: int):
-    """Batched fused count+sum histogram on TPU via Pallas.
+    """Batched fused count+sum histogram on TPU via Pallas (dense variant).
 
     Args:
       idx: (B, E) int32 cell indices; invalid/OOB dropped.
@@ -121,4 +124,231 @@ def scatter_cnt_tsum_pallas(idx: jnp.ndarray, tvals: jnp.ndarray,
     cnt = out[:, :, :LANES].reshape(B, -1)[:, :size]
     tsum = (out[:, :, LANES:2 * LANES]
             + out[:, :, 2 * LANES:]).reshape(B, -1)[:, :size]
+    return cnt, tsum
+
+
+# ---------------------------------------------------------------------------
+# Sorted-banded kernel (production)
+# ---------------------------------------------------------------------------
+#
+# Measured on v5e at 1MEGAPIXEL scale (B=128, E=65536, 655k cells):
+#   XLA sorted dot_general path        ~72 ms
+#   pair sort (idx,t)                  ~17.5 ms
+#   packed int32-key sort              ~9 ms
+#   banded kernel, single accumulator  ~27 ms
+#   banded kernel, dual accumulators   ~21 ms   (breaks the serial RMW chain)
+# The packed key (idx*TQ + quantized t) halves the sort cost; TQ is chosen so
+# size*TQ stays below 2^31 (an overflowing key produces a negative band base
+# and an out-of-bounds VMEM write that kills the TPU worker).
+
+
+def _choose_tq(n_rows: int) -> int:
+    """Largest power-of-two t-quantisation such that the packed key
+    (idx * TQ + tq) fits in int31 for idx up to n_rows*LANES inclusive."""
+    tq = 1
+    limit = 2**31 - 1
+    while (n_rows * LANES + 1) * (tq * 2) < limit and tq < 4096:
+        tq *= 2
+    return tq
+
+
+def _banded_body(hi, lo, t_c, part_dst, *, s_chunk, s_delta, ncol, max_base):
+    """One sub-chunk: build local one-hots, contract on the MXU, band-add."""
+    V = s_delta // 2
+    base = jnp.clip((hi[0] // V) * V, 0, max_base)
+    # mask folded into the index: rows outside the Δ band get s_delta, which
+    # never matches the iota (Mosaic cannot reshape i1 vectors)
+    dh = jnp.clip(hi - base, 0, s_delta)
+    oh_dh = (dh[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (s_chunk, s_delta), 1)).astype(jnp.bfloat16)
+    oh_lo = (lo[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (s_chunk, LANES), 1)).astype(jnp.bfloat16)
+    if ncol == 2:
+        U = jnp.concatenate(
+            [oh_lo, oh_lo * t_c[:, None].astype(jnp.bfloat16)], axis=1)
+    else:
+        t_hi = t_c.astype(jnp.bfloat16)
+        t_lo_col = (t_c - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        U = jnp.concatenate(
+            [oh_lo, oh_lo * t_hi[:, None], oh_lo * t_lo_col[:, None]],
+            axis=1)
+    part = jax.lax.dot_general(oh_dh, U, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    row = pl.ds(pl.multiple_of(base, V), s_delta)
+    part_dst(row, part)
+
+
+def _packed_kernel(key_ref, out_ref, acc_ref, *, n_iters, s_chunk, s_delta,
+                   tq, max_base):
+    """Packed-key variant: key = idx*tq + t_quantised, decoded in-register.
+    Even/odd sub-chunks alternate between out_ref and acc_ref so consecutive
+    band read-modify-writes do not serialise on one buffer."""
+    out_ref[:] = jnp.zeros_like(out_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def one(c, use_out):
+        sl = pl.ds(c * s_chunk, s_chunk)
+        key_c = key_ref[0, 0, sl]
+        idx_c = key_c // tq
+        t_c = (key_c - idx_c * tq).astype(jnp.float32) * (1.0 / (tq - 1)) - 1.0
+        hi = idx_c // LANES
+        lo = idx_c - hi * LANES
+
+        def dst(row, part):
+            if use_out:
+                out_ref[0, row, :] = out_ref[0, row, :] + part
+            else:
+                acc_ref[row, :] = acc_ref[row, :] + part
+
+        _banded_body(hi, lo, t_c, dst, s_chunk=s_chunk, s_delta=s_delta,
+                     ncol=2, max_base=max_base)
+
+    def body(i, _):
+        one(2 * i, True)
+        one(2 * i + 1, False)
+        return 0
+
+    jax.lax.fori_loop(0, n_iters, body, 0)
+    out_ref[0] = out_ref[0] + acc_ref[:]
+
+
+def _pair_kernel(idx_ref, t_ref, out_ref, acc_ref, *, n_iters, s_chunk,
+                 s_delta, ncol, max_base):
+    """Pair-input variant (exact t): used for precise=True."""
+    out_ref[:] = jnp.zeros_like(out_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def one(c, use_out):
+        sl = pl.ds(c * s_chunk, s_chunk)
+        idx_c = idx_ref[0, 0, sl]
+        t_c = t_ref[0, 0, sl]
+        hi = idx_c // LANES
+        lo = idx_c - hi * LANES
+
+        def dst(row, part):
+            if use_out:
+                out_ref[0, row, :] = out_ref[0, row, :] + part
+            else:
+                acc_ref[row, :] = acc_ref[row, :] + part
+
+        _banded_body(hi, lo, t_c, dst, s_chunk=s_chunk, s_delta=s_delta,
+                     ncol=ncol, max_base=max_base)
+
+    def body(i, _):
+        one(2 * i, True)
+        one(2 * i + 1, False)
+        return 0
+
+    jax.lax.fori_loop(0, n_iters, body, 0)
+    out_ref[0] = out_ref[0] + acc_ref[:]
+
+
+@partial(jax.jit, static_argnames=("size", "precise", "s_chunk", "s_delta"))
+def scatter_cnt_tsum_pallas_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
+                                   valid: jnp.ndarray, size: int,
+                                   precise: bool = True,
+                                   s_chunk: int = S_CHUNK,
+                                   s_delta: int = S_DELTA):
+    """Batched fused count + value-sum histogram: sort + banded VMEM kernel.
+
+    Same contract as mxu_scatter.scatter_cnt_tsum_sorted: idx/tvals/valid
+    (B, E) → (cnt, tsum) each (B, size) f32, tvals expected in [-1, 0]
+    (the TAF/EV normalised time column). Counts exact. precise=False uses a
+    packed int32 sort key with ~2^-12 t quantisation (vs bf16's ~2^-9
+    rounding in the XLA path); precise=True pair-sorts and carries bf16x2.
+    """
+    B, E = idx.shape
+    n_hi = -(-size // LANES)
+    V = s_delta // 2
+    max_base = (n_hi // V) * V          # sentinel row n_hi's band base
+    R = -(-(max_base + s_delta) // 8) * 8
+    sentinel = n_hi * LANES
+    idx = jnp.where(valid & (idx >= 0) & (idx < size), idx,
+                    jnp.int32(sentinel))
+    tvals = jnp.where(valid, tvals, 0.0)
+    n_pad = (-E) % (2 * s_chunk)
+    if n_pad:
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad)), constant_values=sentinel)
+        tvals = jnp.pad(tvals, ((0, 0), (0, n_pad)))
+    E_pad = idx.shape[1]
+    n_chunks = E_pad // s_chunk
+
+    tq = _choose_tq(n_hi)
+    use_packed = (not precise) and tq >= 256
+    ncol = 3 if precise else 2
+    vmem_cap = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                                    vmem_limit_bytes=100 * 1024 * 1024)
+    spec_e = pl.BlockSpec((1, 1, E_pad), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, R, ncol * LANES), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, R, ncol * LANES), jnp.float32)
+    scratch = [pltpu.VMEM((R, ncol * LANES), jnp.float32)]
+
+    if use_packed:
+        tqv = jnp.clip(jnp.round((tvals + 1.0) * (tq - 1)), 0,
+                       tq - 1).astype(jnp.int32)
+        key_s = jax.lax.sort(idx * tq + tqv, dimension=1)
+        idx_s = key_s // tq
+        t_s = (key_s - idx_s * tq).astype(jnp.float32) / (tq - 1) - 1.0
+        out = pl.pallas_call(
+            partial(_packed_kernel, n_iters=n_chunks // 2, s_chunk=s_chunk,
+                    s_delta=s_delta, tq=tq, max_base=max_base),
+            grid=(B,),
+            in_specs=[spec_e],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=vmem_cap,
+        )(key_s.reshape(B, 1, E_pad))
+    else:
+        idx_s, t_s = jax.lax.sort((idx, tvals), num_keys=1, dimension=1)
+        out = pl.pallas_call(
+            partial(_pair_kernel, n_iters=n_chunks // 2, s_chunk=s_chunk,
+                    s_delta=s_delta, ncol=ncol, max_base=max_base),
+            grid=(B,),
+            in_specs=[spec_e, spec_e],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=vmem_cap,
+        )(idx_s.reshape(B, 1, E_pad), t_s.reshape(B, 1, E_pad))
+
+    # overflow fallback: events whose sorted chunk spans more than Δ hi rows
+    hi_s = idx_s // LANES
+    base = jnp.clip((hi_s.reshape(B, n_chunks, s_chunk)[:, :, 0] // V) * V,
+                    0, max_base)
+    dh = hi_s.reshape(B, n_chunks, s_chunk) - base[:, :, None]
+    in_grid = hi_s.reshape(B, n_chunks, s_chunk) < n_hi
+    overflow = (in_grid & (dh >= s_delta)).reshape(B, E_pad)
+
+    def add_overflow(d):
+        oob = jnp.where(overflow, idx_s, jnp.int32(R * LANES))
+        hi_o = oob // LANES
+        lo_o = oob % LANES
+
+        def cols_of(t):
+            if precise:
+                thi = t.astype(jnp.bfloat16).astype(jnp.float32)
+                return (jnp.ones_like(t), thi, t - thi)
+            return (jnp.ones_like(t), t)
+
+        def one(dd, h, l, t):
+            out3 = dd.reshape(R, ncol, LANES)
+            for c, colv in enumerate(cols_of(t)):
+                out3 = out3.at[h, c, l].add(colv.astype(jnp.float32),
+                                            mode="drop")
+            return out3.reshape(R, ncol * LANES)
+
+        return jax.vmap(one)(d, hi_o, lo_o, t_s)
+
+    out = jax.lax.cond(jnp.any(overflow), add_overflow, lambda d: d, out)
+
+    dense3 = out.reshape(B, R, ncol, LANES)
+    cnt = dense3[:, :, 0, :].reshape(B, -1)[:, :size]
+    if precise:
+        tsum = (dense3[:, :, 1, :] + dense3[:, :, 2, :]).reshape(
+            B, -1)[:, :size]
+    else:
+        tsum = dense3[:, :, 1, :].reshape(B, -1)[:, :size]
     return cnt, tsum

@@ -189,6 +189,86 @@ def taf_stream_step(state, xytp, n_valid, any_events=None, *,
     return jnp.where(any_ev, updated, state)
 
 
+def taf_pack_state(state: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 2, K) queue → packed (B, H, W, 2K) network-channel layout:
+    channel c = 2*age + p with age 0 = newest (slot K-1)."""
+    packed = jnp.swapaxes(state[..., ::-1], -1, -2)   # (B, H, W, K, 2)
+    B, H, W, K, _ = packed.shape
+    return packed.reshape(B, H, W, 2 * K)
+
+
+def taf_unpack_state(packed: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Inverse of taf_pack_state."""
+    B, H, W, _ = packed.shape
+    st = packed.reshape(B, H, W, K, 2)
+    return jnp.swapaxes(st, -1, -2)[..., ::-1]
+
+
+@partial(jax.jit, static_argnames=("scatter", "precise"))
+def taf_stream_step_packed(state, xytp, n_valid, any_events=None, *,
+                           scatter: str = "mxu", precise: bool = True):
+    """Single-bin TAF queue update on the PACKED (B, H, W, 2K) state.
+
+    Same semantics as taf_stream_step, but the state already lives in the
+    network-input channel order (c = 2*age + p, newest first), so the whole
+    update is channel-local: new bin in channels 0:2, survivors shift right
+    by 2 and age by -1, and leaky_transform(state) IS the network input — no
+    reversal/transpose gather between encode and detect (that gather cost
+    ~25 ms/window at 1MEGAPIXEL batch 128).
+
+    scatter: "xla" (exact serial), "mxu" (dense one-hot matmul), "sorted"
+    (XLA sort + banded matmul), "pallas" (sort + banded VMEM kernel — the
+    fast path for large grids).
+    """
+    B, H, W, C = state.shape
+    K = C // 2
+    E = xytp.shape[1]
+    x = xytp[..., 0].astype(jnp.int32)
+    y = xytp[..., 1].astype(jnp.int32)
+    t = xytp[..., 2]
+    p = xytp[..., 3].astype(jnp.int32)
+    valid = (jnp.arange(E)[None, :] < n_valid[:, None]) \
+        & (x >= 0) & (x < W) & (y >= 0) & (y < H) & (p >= 0) & (p < 2)
+    P = H * W * 2
+    idx = jnp.where(valid, (y * W + x) * 2 + p, jnp.int32(P))
+    tv = (t - 1.0) * valid
+
+    if scatter == "pallas":
+        from .pallas_scatter import scatter_cnt_tsum_pallas_sorted
+
+        cnt, tsum = scatter_cnt_tsum_pallas_sorted(idx, tv, valid, P,
+                                                   precise)
+    elif scatter == "sorted":
+        cnt, tsum = scatter_cnt_tsum_sorted(idx, tv, valid, P, precise)
+    elif scatter == "mxu":
+        def one(i, tvv, v):
+            return scatter_cnt_tsum_mxu(i, tvv, v, P, precise)
+
+        cnt, tsum = jax.vmap(one)(idx, tv, valid)
+    else:
+        def one(i, tvv):
+            oob = jnp.where(i < P, i, jnp.int32(2**30))
+            c = jnp.zeros(P, jnp.float32).at[oob].add(1.0, mode="drop")
+            s = jnp.zeros(P, jnp.float32).at[oob].add(tvv, mode="drop")
+            return c, s
+
+        cnt, tsum = jax.vmap(one)(idx, tv)
+
+    cnt = cnt.reshape(B, H, W, 2)
+    tmean = (tsum.reshape(B, H, W, 2) / (cnt + 1e-8))
+    has = cnt > 0
+    aged = state - 1.0
+    shifted = jnp.concatenate([tmean, aged[..., :C - 2]], axis=-1)
+    # channel c parity == polarity, so tiling `has` K times matches layout
+    has_rep = jnp.tile(has, (1, 1, 1, K))
+    updated = jnp.where(has_rep, shifted, aged)
+    if any_events is None:
+        any_ev = jnp.any(has, axis=(1, 2, 3))[:, None, None, None]
+    else:
+        any_ev = any_events[:, None, None, None]
+    return jnp.where(any_ev, updated, state)
+
+
 # ---------------------------------------------------------------------------
 # SAE
 # ---------------------------------------------------------------------------

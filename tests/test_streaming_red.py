@@ -341,3 +341,31 @@ def test_red_forward_and_loss(rng):
     dec = jax.jit(lambda c, b: red_eval_decode(c, b, priors, h, w))(
         cls_logits, bbox_pred)
     assert dec.shape == (1, priors.shape[0], 7)
+
+
+def test_taf_packed_matches_unpacked(rng):
+    """taf_stream_step_packed == pack(taf_stream_step(unpack(...)))."""
+    from frlw_evd_tpu.encode.streaming import (taf_pack_state,
+                                               taf_stream_step_packed,
+                                               taf_unpack_state)
+
+    B, E, K = 2, 500, 8
+    state = jnp.asarray(
+        np.random.default_rng(1).uniform(-50, 0, (B, H, W, 2, K))
+    ).astype(jnp.float32)
+    packed = taf_pack_state(state)
+    np.testing.assert_allclose(np.asarray(taf_unpack_state(packed, K)),
+                               np.asarray(state))
+
+    for step in range(3):
+        ev = make_events_batch(rng, B, E)
+        if step == 2:
+            nv = jnp.zeros(B, jnp.int32)       # empty bin freezes state
+        else:
+            nv = jnp.full(B, E, jnp.int32)
+        state = taf_stream_step(state, jnp.asarray(ev), nv, use_mxu=False)
+        packed = taf_stream_step_packed(packed, jnp.asarray(ev), nv,
+                                        scatter="xla")
+        np.testing.assert_allclose(np.asarray(packed),
+                                   np.asarray(taf_pack_state(state)),
+                                   atol=1e-5, err_msg=f"step {step}")
