@@ -475,3 +475,107 @@ def test_simota_matches_reference_head(ref):
         np.testing.assert_allclose(np.asarray(a.pred_iou)[common],
                                    t_iou_full[common], atol=1e-4,
                                    err_msg=f"seed {seed}")
+
+
+# ---------------------------------------------------------------------------
+# Full-size checkpoint dress rehearsal (VERDICT r1 #5)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_full_model(ref, tmp_path_factory):
+    """The reference's OWN full-size flagship model (AED + BFM, TAF K=8,
+    GEN1), built from its actual classes — its state_dict is exactly the key
+    set the released AED_TAF_K8_GEN1.pth contains."""
+    from core.Others.Temporal_Active_Focus import Temporal_Active_Focus_connect
+    from core.model import model as RefModel
+    from core.yolox.models.darknet import Darknet as RefDarknet
+    from core.yolox.models.yolo_pafpn import YOLOPAFPN as RefPAFPN
+
+    torch.manual_seed(0)
+    backbone = RefDarknet(21, (256, 320), Temporal_Active_Focus_connect,
+                          in_channels=16, stem_out_channels=64,
+                          out_channels=[256, 256, 256],
+                          out_features=("dark3", "dark4", "dark5"),
+                          act="silu")
+    neck = RefPAFPN(0.33, in_features=("dark3", "dark4", "dark5"),
+                    in_channels=[256, 256, 256], act="silu")
+    head = ref.YOLOXHead(2, in_channels=[256, 256, 256], act="silu",
+                         strides=[8, 16, 32], radius=5)
+    tmodel = RefModel(backbone, neck, None, head)
+    # exercise BN running stats
+    tmodel.train()
+    with torch.no_grad():
+        for _ in range(2):
+            x5 = torch.randn(1, 16, 64, 64, 1)
+            feats = tmodel.backbone(x5)
+            tmodel.neck(feats)
+    tmodel.eval()
+    path = tmp_path_factory.mktemp("full_pth") / "AED_TAF_K8_GEN1_twin.pth"
+    torch.save({"state_dict": {"module." + k: v for k, v in
+                               tmodel.state_dict().items()},
+                "epoch": 34}, path)
+    return tmodel, str(path)
+
+
+def test_fullsize_import_covers_all_keys(ref_full_model):
+    """Every key of the flagship checkpoint maps into the flax AED+BFM
+    (incl. weight-norm weight_g/weight_v and BN buffers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from frlw_evd_tpu.models import build_detector
+    from frlw_evd_tpu.train.checkpoints import import_torch_checkpoint
+
+    tmodel, path = ref_full_model
+    fmodel = build_detector(2, family="aed", stem="bfm")
+    x = jnp.zeros((1, 64, 64, 16), jnp.float32)
+    variables = jax.jit(fmodel.init, static_argnums=(2,))(
+        jax.random.key(0), x, False)
+
+    params, bs, report = import_torch_checkpoint(
+        path, variables["params"], variables["batch_stats"])
+    sd = tmodel.state_dict()
+    n_mappable = sum(1 for k in sd if not k.endswith("num_batches_tracked"))
+    assert report["unmatched"] == [], report["unmatched"][:10]
+    assert report["loaded"] == n_mappable, (report["loaded"], n_mappable)
+
+
+def test_fullsize_forward_parity_after_import(ref_full_model):
+    """Full-size AED+BFM forward parity: reference torch modules vs the
+    imported flax model on a random TAF-like input (head pre-decode maps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from frlw_evd_tpu.models import build_detector
+    from frlw_evd_tpu.train.checkpoints import import_torch_checkpoint
+
+    tmodel, path = ref_full_model
+    fmodel = build_detector(2, family="aed", stem="bfm")
+    xj = jnp.zeros((1, 128, 160, 16), jnp.float32)
+    variables = jax.jit(fmodel.init, static_argnums=(2,))(
+        jax.random.key(0), xj, False)
+    params, bs, _ = import_torch_checkpoint(
+        path, variables["params"], variables["batch_stats"])
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 16, 128, 160)).astype(np.float32)
+    with torch.no_grad():
+        feats = tmodel.backbone(torch.from_numpy(x)[..., None])
+        p2, p1, p0 = tmodel.neck(feats)
+        t_outs = []
+        for k, f in enumerate((p2, p1, p0)):
+            h = tmodel.head
+            s = h.stems[k](f)
+            cls_feat = h.cls_convs[k](s)
+            reg_feat = h.reg_convs[k](s)
+            t_outs.append(torch.cat([h.reg_preds[k](reg_feat),
+                                     h.obj_preds[k](reg_feat),
+                                     h.cls_preds[k](cls_feat)], 1))
+
+    f_outs = jax.jit(lambda v, xx: fmodel.apply(v, xx, False))(
+        {"params": params, "batch_stats": bs},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for lvl, (t, f) in enumerate(zip(t_outs, f_outs)):
+        t_np = t.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(f), t_np, atol=5e-4, rtol=1e-3,
+                                   err_msg=f"level {lvl}")
