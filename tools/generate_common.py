@@ -21,6 +21,8 @@ from frlw_evd_tpu.events.npy_codec import load_bboxes
 
 GEOMETRY = {
     "gen1": dict(shape=(240, 304), target_shape=(256, 320)),
+    # 4x-reduced GEN1 geometry used by the synthetic test fixtures
+    "gen1_mini": dict(shape=(60, 76), target_shape=(64, 96)),
     "gen4": dict(shape=(720, 1280), target_shape=(512, 640)),
 }
 

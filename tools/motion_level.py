@@ -19,6 +19,7 @@ PERCENTILES = {
     "gen4": [0.0, 0.061864120261698595, 0.47486729209948575,
              1.4415784200310098, 4.20493449274388, 1000],
 }
+PERCENTILES["gen1_mini"] = PERCENTILES["gen1"]
 
 
 def overlap_dedup_nms(dets: np.ndarray) -> list:

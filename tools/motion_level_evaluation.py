@@ -8,10 +8,15 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 
-from frlw_evd_tpu.evaluate.box_filtering import filter_boxes_gen1, filter_boxes_large
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from frlw_evd_tpu.evaluate.box_filtering import (filter_boxes,
+                                                 filter_boxes_gen1,
+                                                 filter_boxes_large)
 from frlw_evd_tpu.evaluate.coco_eval import evaluate_detection
 from motion_level import PERCENTILES
 
@@ -19,6 +24,7 @@ TOL = 4999
 
 CLASSES = {
     "gen1": ["Car", "Pedestrian"],
+    "gen1_mini": ["Car", "Pedestrian"],
     "gen4": ["pedestrian", "two wheeler", "car", "truck", "bus",
              "traffic sign", "traffic light"],
 }
@@ -32,8 +38,14 @@ def main():
     parser.add_argument("-stats_dir", type=str, default="statistics_result")
     args = parser.parse_args()
 
-    shape = (240, 304) if args.dataset == "gen1" else (720, 1280)
-    filt = filter_boxes_gen1 if args.dataset == "gen1" else filter_boxes_large
+    shape = (240, 304) if args.dataset.startswith("gen1") else (720, 1280)
+    if args.dataset == "gen1_mini":
+        # fixture boxes are below the real GEN1 size thresholds
+        filt = lambda b: filter_boxes(b, 0, 0, 0, 0)  # noqa: E731
+    elif args.dataset == "gen1":
+        filt = filter_boxes_gen1
+    else:
+        filt = filter_boxes_large
     classes = CLASSES[args.dataset]
     bounds = PERCENTILES[args.dataset]
 

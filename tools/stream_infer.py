@@ -61,9 +61,10 @@ def main():
     from frlw_evd_tpu.models.seq_nms import SeqNMSState
 
     geo = GEOMETRY[args.dataset]
-    sensor_hw = geo["shape"] if args.dataset == "gen1" else geo["target_shape"]
+    sensor_hw = (geo["shape"] if args.dataset.startswith("gen1")
+                 else geo["target_shape"])
     input_hw = geo["target_shape"]
-    nc = 2 if args.dataset == "gen1" else 7
+    nc = 2 if args.dataset.startswith("gen1") else 7
     h, w = sensor_hw
 
     model = build_detector(nc, family="aed", stem="bfm")
@@ -105,7 +106,7 @@ def main():
     loader = PSEELoader(args.event_file)
     state = jnp.full((1, h, w, 2, K), -6000.0, jnp.float32)
     seq = SeqNMSState() if args.seq_nms else None
-    rw = input_hw[1] / w if args.dataset != "gen1" else 1.0
+    rw = input_hw[1] / w if not args.dataset.startswith("gen1") else 1.0
 
     all_dets, all_ts = [], []
     t_wall = time.time()
@@ -123,7 +124,7 @@ def main():
             xytp[:n, 1] = sel["y"]
             xytp[:n, 2] = (sel[t_field] - (t_end - BIN_US)) / BIN_US
             xytp[:n, 3] = sel["p"]
-            if args.dataset != "gen1":
+            if not args.dataset.startswith("gen1"):
                 xytp[:n, 0] *= input_hw[1] / geo["shape"][1]
                 xytp[:n, 1] *= input_hw[0] / geo["shape"][0]
         state, (dets, keep) = window_step(

@@ -24,6 +24,7 @@ from frlw_evd_tpu.events.npy_codec import load_bboxes
 
 LABELMAP = {
     "gen1": ["car", "pedestrian"],
+    "gen1_mini": ["car", "pedestrian"],
     "gen4": ["pedestrian", "two wheeler", "car", "truck", "bus",
              "traffic sign", "traffic light"],
 }
@@ -90,7 +91,7 @@ def flow_to_image(flow: np.ndarray) -> np.ndarray:
 def draw_bboxes(img, boxes, is_dt, labelmap):
     """GT solid / DT labeled boxes (visualization.py:39-62)."""
     colors = cv2.applyColorMap(
-        np.arange(0, 255).astype(np.uint8), cv2.COLORMAP_HSV)
+        np.arange(0, 255, dtype=np.uint8).reshape(255, 1), cv2.COLORMAP_HSV)
     for row in boxes:
         x1, y1 = int(row[1]), int(row[2])
         size = (int(row[3]), int(row[4]))
