@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from frlw_evd_tpu.encode.streaming import taf_stream_step
+from frlw_evd_tpu.encode.streaming import (taf_pack_state, taf_stream_step,
+                                           taf_stream_step_folded,
+                                           taf_stream_step_packed)
 from frlw_evd_tpu.encode.taf import leaky_transform
 from frlw_evd_tpu.models import build_detector
 from frlw_evd_tpu.models.detector import eval_decode
@@ -54,12 +56,56 @@ CONFIGS = {
     # (94 ms vs 151 ms mxu vs ~300 ms XLA serial scatter at batch 128).
     # batch sweep: 16 -> 264 w/s, 32 -> 338, 64 -> 433, 128 -> 494
     "gen4_taf": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=128,
-                     events_per_bin=65536, fused=False, scatter="sorted",
+                     events_per_bin=65536, fused=False, scatter="pallas",
+                     packed=True,
                      metric="gen4_aed_taf8_encode_detect_throughput"),
+    # previous-round gen4 pipeline kept for A/B comparison
+    "gen4_taf_xla": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=128,
+                         events_per_bin=65536, fused=False, scatter="sorted",
+                         metric="gen4_aed_taf8_encode_detect_throughput"),
 }
 
 K = 8
 STEPS_PER_CALL = 10   # distinct synthetic event batches cycled over
+
+
+def make_pipeline_packed(model, variables, sensor_hw, input_hw,
+                         scatter="pallas"):
+    """Packed-state pipeline: the TAF queue lives in the network channel
+    order (B, H, W, 2K), so the whole update is elementwise and
+    leaky_transform(state) IS the detector input — no reversal/transpose
+    gather. Scatter via the banded VMEM Pallas kernel by default."""
+    h, w = sensor_hw
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def encode_transform(state, xytp, n_valid):
+        # NB: a folded (B, H, W*2K) state variant was measured and NOT kept:
+        # the elementwise update is HBM-bound either way (~300-450 GB/s
+        # effective) and the fold costs an extra relayout of the volume
+        state = taf_stream_step_packed(state, xytp, n_valid,
+                                       scatter=scatter, precise=False)
+        vol = (leaky_transform(state) / 255.0).astype(jnp.bfloat16)
+        if input_hw != (h, w):
+            ys = (jnp.arange(input_hw[0]) * (h / input_hw[0])).astype(jnp.int32)
+            xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(jnp.int32)
+            vol = jnp.take(jnp.take(vol, ys, axis=1), xs, axis=2)
+        return state, vol
+
+    @jax.jit
+    def detect(vol):
+        outs = model.apply(variables, vol, False)
+        outs = [o.astype(jnp.float32) for o in outs]
+        decoded = eval_decode(outs, (8, 16, 32))
+        dets, keep = postprocess_batch(decoded, max_detections=100)
+        return keep.sum()
+
+    def run_step(state, ev, nv):
+        state, vol = encode_transform(state, ev, nv)
+        return state, detect(vol)
+
+    run_step.stages = {"encode_transform": encode_transform,
+                       "detect": detect}
+    return run_step
 
 
 def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
@@ -165,11 +211,16 @@ def main():
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         variables)
 
-    run_step = make_pipeline(model, variables, sensor_hw, input_hw,
-                             cfg.get("scatter", "mxu"),
-                             fused=cfg.get("fused", True))
     h, w = sensor_hw
-    state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
+    if cfg.get("packed"):
+        run_step = make_pipeline_packed(model, variables, sensor_hw,
+                                        input_hw, cfg.get("scatter", "pallas"))
+        state = jnp.full((BATCH, h, w, 2 * K), -6000.0, jnp.float32)
+    else:
+        run_step = make_pipeline(model, variables, sensor_hw, input_hw,
+                                 cfg.get("scatter", "mxu"),
+                                 fused=cfg.get("fused", True))
+        state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
     events, n_valid = synth_events(rng, STEPS_PER_CALL, BATCH,
                                    EVENTS_PER_BIN, sensor_hw)
 
@@ -183,12 +234,13 @@ def main():
         # NB: fence with a scalar slice, NOT .ravel()[0] — raveling the
         # (B, H, W, 2, K) state compiles a full copy for which XLA picks a
         # 16x lane-padded layout (43 GB for gen4 batch 128)
-        float(state[0, 0, 0, 0, 0])   # pre-compile the fence program
+        fence = lambda a: float(a[(0,) * a.ndim])
+        fence(state)   # pre-compile the fence program
         t0 = time.time()
         for _ in range(10):    # donated state: chain it through
             state, vol = st["encode_transform"](state, events[1],
                                                 n_valid[1])
-        float(state[0, 0, 0, 0, 0])
+        fence(state)
         print("# stage encode+transform: "
               f"{(time.time() - t0) / 10 * 1000:.2f} ms", file=sys.stderr)
         k0 = st["detect"](vol)

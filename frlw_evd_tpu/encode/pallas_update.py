@@ -1,0 +1,121 @@
+"""Pallas TPU kernel for the fused TAF queue update + leaky transform.
+
+One HBM pass over the (B, H, W*2K)-folded packed queue: read state + the
+pre-broadcast has/tmean planes, apply the queue update (age, shift, insert),
+the empty-bin freeze, the leaky transform and the /255 bf16 cast, and write
+both the new state and the detector input volume. The XLA formulation of
+the same chain runs at ~300 GB/s effective because the 16-channel-minor
+arrays fill 16/128 lanes per tile and the ops split into several passes;
+here every block is a full-lane (ROWS, W*2K) tile.
+
+Reference semantics: generate_taf.py:39-58 queue update + :69-76 leaky.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 32
+
+
+def _update_kernel(state_ref, has_ref, tm_ref, anyev_ref, out_ref, vol_ref,
+                   *, C):
+    s = state_ref[0]                              # (ROWS, WF) f32
+    # f32 compare: Mosaic rejects bf16 cmpf on this target
+    has = has_ref[0].astype(jnp.float32) > 0.0    # (ROWS, WF) mask
+    tm = tm_ref[0].astype(jnp.float32)
+    aged = s - 1.0
+    shifted = jnp.concatenate(
+        [jnp.zeros((s.shape[0], 2), jnp.float32), aged[:, :-2]], axis=1)
+    mask01 = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % C) < 2
+    new = jnp.where(mask01, tm, shifted)
+    upd = jnp.where(has, new, aged)
+    upd = jnp.where(anyev_ref[0, 0, 0] > 0.0, upd, s)
+    out_ref[0] = upd
+    # leaky transform: max(0, 1 - log1p(-x)/8.7) / 255 * 255 → [0, 1]
+    lk = 1.0 - jnp.log1p(-upd) * (1.0 / 8.7)
+    vol_ref[0] = jnp.maximum(lk, 0.0).astype(jnp.bfloat16)
+
+
+@partial(jax.jit, static_argnames=("height", "width"), donate_argnums=(0,))
+def taf_update_leaky(state_f, has_f, tm_f, any_ev, *, height: int,
+                     width: int):
+    """Fused queue update + leaky on the folded packed state.
+
+    Args:
+      state_f: (B, H, W*2K) f32 folded packed queue (c = 2*age + p minor
+        within each pixel's 2K block, newest first).
+      has_f / tm_f: (B, H, W*2K) bf16 pre-broadcast event-mask / new-bin
+        mean planes (position x*2K+c reads cell (x, c%%2)).
+      any_ev: (B,) f32, >0 when the stream received any event this bin
+        (the reference's whole-frame freeze, generate_taf.py:40-41).
+    Returns (new_state_f f32, volume_f bf16 in [0, 1]) both (B, H, W*2K).
+    """
+    B, H, WF = state_f.shape
+    C = WF // width
+    grid = (B, H // ROWS)
+    bspec = lambda dt: pl.BlockSpec((1, ROWS, WF), lambda b, r: (b, r, 0),
+                                    memory_space=pltpu.VMEM)
+    out_state, vol = pl.pallas_call(
+        partial(_update_kernel, C=C),
+        grid=grid,
+        in_specs=[bspec(jnp.float32), bspec(jnp.bfloat16),
+                  bspec(jnp.bfloat16),
+                  pl.BlockSpec((1, 1, 1), lambda b, r: (b, 0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(bspec(jnp.float32), bspec(jnp.bfloat16)),
+        out_shape=(jax.ShapeDtypeStruct((B, H, WF), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, WF), jnp.bfloat16)),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(state_f, has_f, tm_f, any_ev.reshape(B, 1, 1))
+    return out_state, vol
+
+
+@partial(jax.jit, static_argnames=("height", "width", "scatter", "precise"),
+         donate_argnums=(0,))
+def taf_stream_step_kernel(state_f, xytp, n_valid, *, height: int,
+                           width: int, scatter: str = "pallas",
+                           precise: bool = False):
+    """Full streaming TAF step on the folded packed state: banded-scatter
+    histogram (pallas_scatter) + XLA broadcast of has/tmean + fused update
+    kernel. Returns (new_state_f, vol (B, H, W, 2K) bf16 in [0, 1])."""
+    from .mxu_scatter import scatter_cnt_tsum_sorted
+    from .pallas_scatter import scatter_cnt_tsum_pallas_sorted
+
+    B, H, WF = state_f.shape
+    W = width
+    K = WF // W // 2
+    E = xytp.shape[1]
+    x = xytp[..., 0].astype(jnp.int32)
+    y = xytp[..., 1].astype(jnp.int32)
+    t = xytp[..., 2]
+    p = xytp[..., 3].astype(jnp.int32)
+    valid = (jnp.arange(E)[None, :] < n_valid[:, None]) \
+        & (x >= 0) & (x < W) & (y >= 0) & (y < H) & (p >= 0) & (p < 2)
+    P = H * W * 2
+    idx = jnp.where(valid, (y * W + x) * 2 + p, jnp.int32(P))
+    tv = (t - 1.0) * valid
+
+    if scatter == "pallas":
+        cnt, tsum = scatter_cnt_tsum_pallas_sorted(idx, tv, valid, P,
+                                                   precise)
+    else:
+        cnt, tsum = scatter_cnt_tsum_sorted(idx, tv, valid, P, precise)
+
+    cnt4 = cnt.reshape(B, H, W, 2)
+    tm4 = (tsum.reshape(B, H, W, 2) / (cnt4 + 1e-8)).astype(jnp.bfloat16)
+    has_f = jnp.tile((cnt4 > 0).astype(jnp.bfloat16),
+                     (1, 1, 1, K)).reshape(B, H, WF)
+    tm_f = jnp.tile(tm4, (1, 1, 1, K)).reshape(B, H, WF)
+    any_ev = jnp.any(cnt4 > 0, axis=(1, 2, 3)).astype(jnp.float32)
+
+    state_f, vol_f = taf_update_leaky(state_f, has_f, tm_f, any_ev,
+                                      height=H, width=W)
+    return state_f, vol_f.reshape(B, H, W, 2 * K)

@@ -269,6 +269,64 @@ def taf_stream_step_packed(state, xytp, n_valid, any_events=None, *,
     return jnp.where(any_ev, updated, state)
 
 
+@partial(jax.jit, static_argnames=("height", "width", "scatter", "precise"))
+def taf_stream_step_folded(state_f, xytp, n_valid, any_events=None, *,
+                           height: int, width: int, scatter: str = "pallas",
+                           precise: bool = False):
+    """Packed TAF update on the FOLDED (B, H, W*2K) state.
+
+    Identical math to taf_stream_step_packed, but the state's minor
+    dimension is W*2K instead of 2K — on TPU a 16-channel-minor f32/bf16
+    array fills only 16 of each tile's 128 lanes, taxing every elementwise
+    pass ~8x; folding W into the minor dim restores full-lane tiles. The
+    channel shift becomes a 2-position shift along the folded axis with the
+    first two positions of each 16-block replaced by the new bin's mean
+    (identical because positions p%%(2K) < 2 are overwritten)."""
+    B, H, WF = state_f.shape
+    assert H == height
+    C = WF // width
+    K = C // 2
+    E = xytp.shape[1]
+    x = xytp[..., 0].astype(jnp.int32)
+    y = xytp[..., 1].astype(jnp.int32)
+    t = xytp[..., 2]
+    p = xytp[..., 3].astype(jnp.int32)
+    W = width
+    valid = (jnp.arange(E)[None, :] < n_valid[:, None]) \
+        & (x >= 0) & (x < W) & (y >= 0) & (y < H) & (p >= 0) & (p < 2)
+    P = H * W * 2
+    idx = jnp.where(valid, (y * W + x) * 2 + p, jnp.int32(P))
+    tv = (t - 1.0) * valid
+
+    if scatter == "pallas":
+        from .pallas_scatter import scatter_cnt_tsum_pallas_sorted
+
+        cnt, tsum = scatter_cnt_tsum_pallas_sorted(idx, tv, valid, P,
+                                                   precise)
+    else:
+        cnt, tsum = scatter_cnt_tsum_sorted(idx, tv, valid, P, precise)
+
+    cnt4 = cnt.reshape(B, H, W, 2)
+    tmean4 = tsum.reshape(B, H, W, 2) / (cnt4 + 1e-8)
+    # bf16/bool tiles: the broadcast intermediates are (B, H, W*2K)-sized —
+    # f32 copies of them OOM a 16 GB chip at 1MEGAPIXEL batch 128
+    has_f = jnp.tile(cnt4 > 0, (1, 1, 1, K)).reshape(B, H, WF)
+    tmean_f = jnp.tile(tmean4.astype(jnp.bfloat16),
+                       (1, 1, 1, K)).reshape(B, H, WF)
+
+    mask01 = (jnp.arange(WF) % C) < 2            # new-bin positions
+    aged = state_f - 1.0
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(state_f[..., :2]), aged[..., :-2]], axis=-1)
+    new_f = jnp.where(mask01, tmean_f.astype(state_f.dtype), shifted)
+    updated = jnp.where(has_f, new_f, aged)
+    if any_events is None:
+        any_ev = jnp.any(cnt4 > 0, axis=(1, 2, 3))[:, None, None]
+    else:
+        any_ev = any_events[:, None, None]
+    return jnp.where(any_ev, updated, state_f)
+
+
 # ---------------------------------------------------------------------------
 # SAE
 # ---------------------------------------------------------------------------

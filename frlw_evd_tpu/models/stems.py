@@ -58,6 +58,7 @@ class BinsFusionModule(nn.Module):
     act: str = "silu"
     embed_dim: int = 4
     dropout_rate: float = 0.1
+    fused: bool = True       # patchify+conv as one 6x6 s2 conv (blocks.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -85,6 +86,9 @@ class BinsFusionModule(nn.Module):
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         h = h + y
 
+        if self.fused and self.ksize == 3:
+            return BaseConv(self.out_channels, 3, 1, act=self.act,
+                            patchify_fused=True, name="conv")(h, train)
         h = space_to_depth_patches(h)
         return BaseConv(self.out_channels, self.ksize, 1, act=self.act,
                         name="conv")(h, train)

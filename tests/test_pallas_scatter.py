@@ -80,3 +80,45 @@ def test_pallas_sorted_banded_matches_numpy(rng, monkeypatch, dist, precise):
         atol = 1e-3 if precise else 2e-2
         np.testing.assert_allclose(np.asarray(tsum[b]), tref, atol=atol,
                                    rtol=5e-3, err_msg=f"{dist} tsum")
+
+
+def test_taf_update_kernel_matches_packed(rng, monkeypatch):
+    """taf_stream_step_kernel (fused Pallas update+leaky) == the packed
+    reference path, on the folded state."""
+    from jax.experimental import pallas as pl
+    from frlw_evd_tpu.encode import pallas_scatter, pallas_update
+    from frlw_evd_tpu.encode.streaming import taf_stream_step_packed
+    from frlw_evd_tpu.encode.taf import leaky_transform
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_scatter.pl, "pallas_call", interp_call)
+    monkeypatch.setattr(pallas_update.pl, "pallas_call", interp_call)
+
+    B, H, W, K, E = 2, 32, 64, 8, 900
+    state_p = jnp.asarray(
+        np.random.default_rng(1).uniform(-50, 0, (B, H, W, 2 * K))
+    ).astype(jnp.float32)
+    state_f = state_p.reshape(B, H, W * 2 * K)
+
+    for step in range(3):
+        ev = np.zeros((B, E, 4), np.float32)
+        ev[..., 0] = rng.integers(0, W, (B, E))
+        ev[..., 1] = rng.integers(0, H, (B, E))
+        ev[..., 2] = np.sort(rng.uniform(0, 1, (B, E)), axis=1)
+        ev[..., 3] = rng.integers(0, 2, (B, E))
+        nv = jnp.full(B, E if step != 1 else 0, jnp.int32)  # step 1: freeze
+        state_p = taf_stream_step_packed(state_p, jnp.asarray(ev), nv,
+                                         scatter="xla")
+        state_f, vol = pallas_update.taf_stream_step_kernel(
+            state_f, jnp.asarray(ev), nv, height=H, width=W)
+        np.testing.assert_allclose(
+            np.asarray(state_f).reshape(B, H, W, 2 * K),
+            np.asarray(state_p), atol=5e-3, err_msg=f"step {step} state")
+        want_vol = leaky_transform(state_p) / 255.0
+        np.testing.assert_allclose(np.asarray(vol), np.asarray(want_vol),
+                                   atol=2e-2, err_msg=f"step {step} vol")
