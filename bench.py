@@ -57,8 +57,13 @@ CONFIGS = {
     # batch sweep: 16 -> 264 w/s, 32 -> 338, 64 -> 433, 128 -> 494
     "gen4_taf": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=128,
                      events_per_bin=65536, fused=False, scatter="pallas",
-                     packed=True,
+                     p64=True,
                      metric="gen4_aed_taf8_encode_detect_throughput"),
+    # previous packed-state (full-res 16-channel) pipeline for A/B
+    "gen4_taf_packed": dict(sensor_hw=(512, 640), input_hw=(512, 640),
+                            batch=128, events_per_bin=65536, fused=False,
+                            scatter="pallas", packed=True,
+                            metric="gen4_aed_taf8_encode_detect_throughput"),
     # previous-round gen4 pipeline kept for A/B comparison
     "gen4_taf_xla": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=128,
                          events_per_bin=65536, fused=False, scatter="sorted",
@@ -67,6 +72,40 @@ CONFIGS = {
 
 K = 8
 STEPS_PER_CALL = 10   # distinct synthetic event batches cycled over
+
+
+def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas"):
+    """Patchified-state pipeline: the TAF queue lives at quarter resolution
+    with the 2x2 subpixels packed into channels (s-major, 4*2K = 64-channel
+    minor → 4x the TPU lane occupancy of the 16-channel layout), the fused
+    Pallas update kernel produces the space-to-depth'd detector input
+    directly, and the *_p64 stem skips its patchify. Only valid when
+    input_hw == sensor_hw (the 1MEGAPIXEL recipe)."""
+    from frlw_evd_tpu.encode.pallas_update import taf_stream_step_kernel_p64
+
+    h, w = sensor_hw
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def encode_transform(state_f, xytp, n_valid):
+        return taf_stream_step_kernel_p64(state_f, xytp, n_valid,
+                                          height=h, width=w,
+                                          scatter=scatter, precise=False)
+
+    @jax.jit
+    def detect(vol):
+        outs = model.apply(variables, vol, False)
+        outs = [o.astype(jnp.float32) for o in outs]
+        decoded = eval_decode(outs, (8, 16, 32))
+        dets, keep = postprocess_batch(decoded, max_detections=100)
+        return keep.sum()
+
+    def run_step(state, ev, nv):
+        state, vol = encode_transform(state, ev, nv)
+        return state, detect(vol)
+
+    run_step.stages = {"encode_transform": encode_transform,
+                       "detect": detect}
+    return run_step
 
 
 def make_pipeline_packed(model, variables, sensor_hw, input_hw,
@@ -202,8 +241,14 @@ def main():
     nc = 2 if args.config.startswith("gen1") else 7
 
     rng = np.random.default_rng(0)
-    model = build_detector(nc, family="aed", stem="bfm")
-    sample = jnp.zeros((BATCH, input_hw[0], input_hw[1], 2 * K), jnp.bfloat16)
+    stem = "bfm_p64" if cfg.get("p64") else "bfm"
+    model = build_detector(nc, family="aed", stem=stem)
+    if cfg.get("p64"):
+        sample = jnp.zeros((BATCH, input_hw[0] // 2, input_hw[1] // 2,
+                            8 * K), jnp.bfloat16)
+    else:
+        sample = jnp.zeros((BATCH, input_hw[0], input_hw[1], 2 * K),
+                           jnp.bfloat16)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.key(0), sample, False)
     # inference in bf16 end-to-end: avoids per-layer f32<->bf16 conversions
@@ -212,7 +257,13 @@ def main():
         variables)
 
     h, w = sensor_hw
-    if cfg.get("packed"):
+    if cfg.get("p64"):
+        from frlw_evd_tpu.encode.pallas_update import p64_init_state
+
+        run_step = make_pipeline_p64(model, variables, sensor_hw,
+                                     cfg.get("scatter", "pallas"))
+        state = p64_init_state(BATCH, h, w, K)
+    elif cfg.get("packed"):
         run_step = make_pipeline_packed(model, variables, sensor_hw,
                                         input_hw, cfg.get("scatter", "pallas"))
         state = jnp.full((BATCH, h, w, 2 * K), -6000.0, jnp.float32)

@@ -23,12 +23,13 @@ from jax.experimental.pallas import tpu as pltpu
 ROWS = 32
 
 
-def _update_kernel(state_ref, has_ref, tm_ref, anyev_ref, out_ref, vol_ref,
-                   *, C):
+def _update_kernel(state_ref, tm_ref, anyev_ref, out_ref, vol_ref, *, C):
     s = state_ref[0]                              # (ROWS, WF) f32
+    # single-plane encoding: tm in [-1, 0] where the cell received events,
+    # -2.0 where it did not (saves a full (B, H, WF) has-mask plane)
     # f32 compare: Mosaic rejects bf16 cmpf on this target
-    has = has_ref[0].astype(jnp.float32) > 0.0    # (ROWS, WF) mask
     tm = tm_ref[0].astype(jnp.float32)
+    has = tm > -1.5
     aged = s - 1.0
     shifted = jnp.concatenate(
         [jnp.zeros((s.shape[0], 2), jnp.float32), aged[:, :-2]], axis=1)
@@ -43,29 +44,32 @@ def _update_kernel(state_ref, has_ref, tm_ref, anyev_ref, out_ref, vol_ref,
 
 
 @partial(jax.jit, static_argnames=("height", "width"), donate_argnums=(0,))
-def taf_update_leaky(state_f, has_f, tm_f, any_ev, *, height: int,
-                     width: int):
+def taf_update_leaky(state_f, tm_f, any_ev, *, height: int, width: int):
     """Fused queue update + leaky on the folded packed state.
 
     Args:
       state_f: (B, H, W*2K) f32 folded packed queue (c = 2*age + p minor
         within each pixel's 2K block, newest first).
-      has_f / tm_f: (B, H, W*2K) bf16 pre-broadcast event-mask / new-bin
-        mean planes (position x*2K+c reads cell (x, c%%2)).
+      tm_f: (B, H, W*2K) bf16 pre-broadcast new-bin mean plane (position
+        x*2K+c reads cell (x, c%%2)); -2.0 marks cells with no events.
       any_ev: (B,) f32, >0 when the stream received any event this bin
         (the reference's whole-frame freeze, generate_taf.py:40-41).
     Returns (new_state_f f32, volume_f bf16 in [0, 1]) both (B, H, W*2K).
     """
     B, H, WF = state_f.shape
     C = WF // width
-    grid = (B, H // ROWS)
-    bspec = lambda dt: pl.BlockSpec((1, ROWS, WF), lambda b, r: (b, r, 0),
+    rows = ROWS
+    # VMEM budget: buffered block copies (2 in + 2 out, double-buffered)
+    # must fit the 16 MB scoped limit
+    while H % rows or rows * WF * 8 * 4 > 12 * 1024 * 1024:
+        rows //= 2
+    grid = (B, H // rows)
+    bspec = lambda dt: pl.BlockSpec((1, rows, WF), lambda b, r: (b, r, 0),
                                     memory_space=pltpu.VMEM)
     out_state, vol = pl.pallas_call(
         partial(_update_kernel, C=C),
         grid=grid,
         in_specs=[bspec(jnp.float32), bspec(jnp.bfloat16),
-                  bspec(jnp.bfloat16),
                   pl.BlockSpec((1, 1, 1), lambda b, r: (b, 0, 0),
                                memory_space=pltpu.SMEM)],
         out_specs=(bspec(jnp.float32), bspec(jnp.bfloat16)),
@@ -74,7 +78,7 @@ def taf_update_leaky(state_f, has_f, tm_f, any_ev, *, height: int,
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(state_f, has_f, tm_f, any_ev.reshape(B, 1, 1))
+    )(state_f, tm_f, any_ev.reshape(B, 1, 1))
     return out_state, vol
 
 
@@ -110,12 +114,72 @@ def taf_stream_step_kernel(state_f, xytp, n_valid, *, height: int,
         cnt, tsum = scatter_cnt_tsum_sorted(idx, tv, valid, P, precise)
 
     cnt4 = cnt.reshape(B, H, W, 2)
-    tm4 = (tsum.reshape(B, H, W, 2) / (cnt4 + 1e-8)).astype(jnp.bfloat16)
-    has_f = jnp.tile((cnt4 > 0).astype(jnp.bfloat16),
-                     (1, 1, 1, K)).reshape(B, H, WF)
+    tm4 = jnp.where(cnt4 > 0, tsum.reshape(B, H, W, 2) / (cnt4 + 1e-8),
+                    -2.0).astype(jnp.bfloat16)
     tm_f = jnp.tile(tm4, (1, 1, 1, K)).reshape(B, H, WF)
     any_ev = jnp.any(cnt4 > 0, axis=(1, 2, 3)).astype(jnp.float32)
 
-    state_f, vol_f = taf_update_leaky(state_f, has_f, tm_f, any_ev,
+    state_f, vol_f = taf_update_leaky(state_f, tm_f, any_ev,
                                       height=H, width=W)
     return state_f, vol_f.reshape(B, H, W, 2 * K)
+
+
+def p64_init_state(batch: int, height: int, width: int, K: int = 8):
+    """Patchified folded state: (B, H/2, (W/2)*4*2K) filled with -6000."""
+    return jnp.full((batch, height // 2, (width // 2) * 4 * 2 * K),
+                    -6000.0, jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "scatter", "precise"),
+         donate_argnums=(0,))
+def taf_stream_step_kernel_p64(state_f, xytp, n_valid, *, height: int,
+                               width: int, scatter: str = "pallas",
+                               precise: bool = False):
+    """Streaming TAF step on the PATCHIFIED folded state.
+
+    The state lives at quarter resolution with the 2x2 subpixels packed into
+    channels: cell (y2, x2) carries 4 subpixel blocks (s-major, s =
+    (x&1)*2 + (y&1) → [tl, bl, tr, br]) of 2K packed queue channels each —
+    i.e. the network input is produced ALREADY space-to-depth'd, so the
+    detector's stem skips the patchify and every tensor in the pipeline has
+    a ≥64-channel minor dim (vs 16: 4x better TPU lane occupancy).
+
+    Returns (new_state_f, vol (B, H/2, W/2, 4*2K) bf16 in [0, 1]) for the
+    *_p64 stems (models/stems.py BinsFusionModulePatched / FocusPatched).
+    """
+    from .mxu_scatter import scatter_cnt_tsum_sorted
+    from .pallas_scatter import scatter_cnt_tsum_pallas_sorted
+
+    B, H2, WF = state_f.shape
+    W = width
+    W2 = W // 2
+    K = WF // W2 // 8
+    E = xytp.shape[1]
+    x = xytp[..., 0].astype(jnp.int32)
+    y = xytp[..., 1].astype(jnp.int32)
+    t = xytp[..., 2]
+    p = xytp[..., 3].astype(jnp.int32)
+    valid = (jnp.arange(E)[None, :] < n_valid[:, None]) \
+        & (x >= 0) & (x < W) & (y >= 0) & (y < height) & (p >= 0) & (p < 2)
+    P = height * W * 2
+    s = (x & 1) * 2 + (y & 1)
+    cell = ((y >> 1) * W2 + (x >> 1)) * 4 + s
+    idx = jnp.where(valid, cell * 2 + p, jnp.int32(P))
+    tv = (t - 1.0) * valid
+
+    if scatter == "pallas":
+        cnt, tsum = scatter_cnt_tsum_pallas_sorted(idx, tv, valid, P,
+                                                   precise)
+    else:
+        cnt, tsum = scatter_cnt_tsum_sorted(idx, tv, valid, P, precise)
+
+    cnt5 = cnt.reshape(B, H2, W2, 4, 2)
+    tm5 = jnp.where(cnt5 > 0, tsum.reshape(B, H2, W2, 4, 2) / (cnt5 + 1e-8),
+                    -2.0).astype(jnp.bfloat16)
+    tm_f = jnp.tile(tm5, (1, 1, 1, 1, K)).reshape(B, H2, WF)
+    any_ev = jnp.any(cnt5 > 0, axis=(1, 2, 3, 4)).astype(jnp.float32)
+
+    # the update kernel sees W2*4 "subpixel columns" of 2K channels each
+    state_f, vol_f = taf_update_leaky(state_f, tm_f, any_ev,
+                                      height=H2, width=W2 * 4)
+    return state_f, vol_f.reshape(B, H2, W2, 8 * K)

@@ -70,10 +70,30 @@ def _taf3d_stem(*args, **kwargs):
     return TemporalActiveFocus3D(*args, **kwargs)
 
 
+def _bfm_p64(*args, **kwargs):
+    from .stems import BinsFusionModulePatched
+    return BinsFusionModulePatched(*args, **kwargs)
+
+
+def _bfm_p64_kernel(*args, **kwargs):
+    from .stems import BinsFusionModulePatchedKernel
+    return BinsFusionModulePatchedKernel(*args, **kwargs)
+
+
+def _focus_p64(*args, **kwargs):
+    from .stems import FocusPatched
+    return FocusPatched(*args, **kwargs)
+
+
 _STEMS = {
     "focus": Focus,
     "taf": TemporalActiveFocus,
     "bfm": BinsFusionModule,
+    # pre-patchified-input variants (identical param trees to focus/bfm):
+    # pair with the p64 TAF state layout (encode/pallas_update)
+    "focus_p64": _focus_p64,
+    "bfm_p64": _bfm_p64,
+    "bfm_p64_kernel": _bfm_p64_kernel,
     "taf_swin": _swin_stem,
     "taf_corr": _corr_stem,
     "taf_3d": _taf3d_stem,

@@ -23,26 +23,65 @@ from .blocks import BaseConv, get_activation, space_to_depth_patches
 
 class WeightNormConv1x1(nn.Module):
     """1x1 grouped conv with weight normalisation (torch nn.utils.weight_norm:
-    w = g * v / ||v||, norm over all dims except the output-channel dim)."""
+    w = g * v / ||v||, norm over all dims except the output-channel dim).
+
+    tile=T applies the SAME canonical conv independently to T consecutive
+    channel blocks (input T*in_ch, s-major), with canonical parameter shapes
+    — used by the patchified-input stems, where the 2x2 subpixels become 4
+    channel blocks sharing the stem weights."""
 
     out_channels: int
     groups: int = 1
+    tile: int = 1
 
     @nn.compact
     def __call__(self, x):
         import jax
 
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // self.tile
         v = self.param("v", nn.initializers.normal(0.01),
                        (1, 1, in_ch // self.groups, self.out_channels))
         g = self.param("g", nn.initializers.ones, (self.out_channels,))
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2)) + 1e-12)
         kernel = (v * (g / norm)).astype(x.dtype)
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        if self.tile > 1:
+            kernel = jnp.tile(kernel, (1, 1, 1, self.tile))
+            b = jnp.tile(b, self.tile)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
+            feature_group_count=self.groups * self.tile,
+        )
+        return y + b.astype(y.dtype)
+
+
+class TiledConv1x1(nn.Module):
+    """Dense 1x1 conv with canonical (1,1,cin,cout) parameters, applied
+    block-diagonally to `tile` consecutive channel blocks (shared weights).
+    Parameter names match nn.Conv so the canonical and patched stems share
+    one variables tree."""
+
+    features: int
+    tile: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        cin = x.shape[-1] // self.tile
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(x.dtype)
+        b = bias
+        if self.tile > 1:
+            k = jnp.tile(k, (1, 1, 1, self.tile))
+            b = jnp.tile(b, self.tile)
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.tile,
         )
         return y + b.astype(y.dtype)
 
@@ -92,6 +131,146 @@ class BinsFusionModule(nn.Module):
         h = space_to_depth_patches(h)
         return BaseConv(self.out_channels, self.ksize, 1, act=self.act,
                         name="conv")(h, train)
+
+
+class BinsFusionModulePatched(nn.Module):
+    """BFM stem for PRE-PATCHIFIED input (B, H/2, W/2, 4*2K).
+
+    The reference BFM's channel ops are all 1x1 (per-pixel), so they commute
+    with the 2x2 space-to-depth: applying them per 2K-channel subpixel block
+    (shared weights, s-major block order [tl, bl, tr, br]) then running the
+    final 3x3 conv directly is mathematically identical to the canonical
+    BFM on the un-patchified grid — but the full-resolution 16-channel-minor
+    tensors (12.5%% TPU lane occupancy) never exist. Parameter tree is
+    IDENTICAL to BinsFusionModule: one checkpoint serves both.
+
+    Pair with the patchified TAF state layout
+    (encode/pallas_update.taf_stream_step_kernel_p64).
+    """
+
+    out_channels: int
+    ksize: int = 3
+    act: str = "silu"
+    embed_dim: int = 4
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        S = 4
+        in_channels = x.shape[-1] // S
+        time_channels = in_channels // 2
+        reduce_times = int(log2(time_channels))
+
+        xout = []
+        tc = time_channels
+        h = x
+        for i in range(reduce_times):
+            groups = int(tc / 2)
+            out_ch = int(self.embed_dim * tc / 2)
+            h = WeightNormConv1x1(out_ch, groups=groups, tile=S,
+                                  name=f"convs_{i}")(h)
+            h = nn.relu(h)
+            hs = h.reshape(*h.shape[:-1], S, out_ch)
+            xout.append(hs[..., : self.embed_dim])
+            tc = tc / 2
+        h = jnp.concatenate(xout, axis=-1)           # (..., S, mixer_dim)
+        mixer_dim = self.embed_dim * reduce_times
+        h = h.reshape(*h.shape[:-2], S * mixer_dim)
+
+        y = TiledConv1x1(mixer_dim * 4, tile=S, name="trans_up")(h)
+        y = get_activation(self.act)(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        y = TiledConv1x1(mixer_dim, tile=S, name="trans_down")(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        h = h + y
+
+        # already patchified: the canonical BFM's patch() output channel
+        # order [tl, bl, tr, br] equals the s-major block order here
+        return BaseConv(self.out_channels, self.ksize, 1, act=self.act,
+                        name="conv")(h, train)
+
+
+class _WNParams(nn.Module):
+    """Declares WeightNormConv1x1's parameters without applying them (the
+    Pallas stem kernel consumes the raw tensors)."""
+
+    in_per_group: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self):
+        v = self.param("v", nn.initializers.normal(0.01),
+                       (1, 1, self.in_per_group, self.out_channels))
+        g = self.param("g", nn.initializers.ones, (self.out_channels,))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return {"v": v, "g": g, "bias": b}
+
+
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-compatible (kernel, bias) parameters."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.in_channels, self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return {"kernel": k, "bias": b}
+
+
+class BinsFusionModulePatchedKernel(nn.Module):
+    """BinsFusionModulePatched with the channel chain + MLP fused into one
+    Pallas pass (models/pallas_stem.py). Inference-only (dropout ignored —
+    eval semantics); parameter tree identical to BinsFusionModule."""
+
+    out_channels: int
+    ksize: int = 3
+    act: str = "silu"
+    embed_dim: int = 4
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .pallas_stem import bfm_chain_apply
+
+        S = 4
+        in_channels = x.shape[-1] // S
+        tc = in_channels // 2
+        n_lvl = int(log2(tc))
+        mixer = self.embed_dim * n_lvl
+        params = {}
+        t = tc
+        cin = in_channels
+        for i in range(n_lvl):
+            groups = int(t / 2)
+            out_ch = int(self.embed_dim * t / 2)
+            params[f"convs_{i}"] = _WNParams(cin // groups, out_ch,
+                                             name=f"convs_{i}")()
+            cin = out_ch
+            t //= 2
+        params["trans_up"] = _ConvParams(mixer, mixer * 4,
+                                         name="trans_up")()
+        params["trans_down"] = _ConvParams(mixer * 4, mixer,
+                                           name="trans_down")()
+        h = bfm_chain_apply(x.astype(jnp.bfloat16), params, act=self.act)
+        return BaseConv(self.out_channels, self.ksize, 1, act=self.act,
+                        name="conv")(h, train)
+
+
+class FocusPatched(nn.Module):
+    """Focus stem for PRE-PATCHIFIED input: just the 3x3 conv (canonical
+    parameter tree — conv/conv/kernel (3,3,4C,O))."""
+
+    out_channels: int
+    ksize: int = 3
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return BaseConv(self.out_channels, self.ksize, 1, act=self.act,
+                        name="conv")(x, train)
 
 
 class TemporalActiveFocus(nn.Module):

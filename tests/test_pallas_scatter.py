@@ -122,3 +122,120 @@ def test_taf_update_kernel_matches_packed(rng, monkeypatch):
         want_vol = leaky_transform(state_p) / 255.0
         np.testing.assert_allclose(np.asarray(vol), np.asarray(want_vol),
                                    atol=2e-2, err_msg=f"step {step} vol")
+
+
+def test_p64_state_matches_packed(rng, monkeypatch):
+    """Patchified-state step == canonical packed step under the subpixel
+    channel mapping, volume included."""
+    from jax.experimental import pallas as pl
+    from frlw_evd_tpu.encode import pallas_scatter, pallas_update
+    from frlw_evd_tpu.encode.streaming import taf_stream_step_packed
+    from frlw_evd_tpu.encode.taf import leaky_transform
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_scatter.pl, "pallas_call", interp_call)
+    monkeypatch.setattr(pallas_update.pl, "pallas_call", interp_call)
+
+    B, H, W, K, E = 2, 32, 64, 8, 800
+
+    def to_p64(state_p):
+        """(B, H, W, 2K) → (B, H/2, (W/2)*4*2K) folded with s-major blocks."""
+        Bq, Hq, Wq, C = state_p.shape
+        st = np.asarray(state_p).reshape(Bq, Hq // 2, 2, Wq // 2, 2, C)
+        #  s = sx*2 + sy → order (sx, sy): transpose to (B, H2, W2, sx, sy, C)
+        st = st.transpose(0, 1, 3, 4, 2, 5)
+        return st.reshape(Bq, Hq // 2, (Wq // 2) * 4 * C)
+
+    state_p = jnp.asarray(
+        np.random.default_rng(1).uniform(-50, 0, (B, H, W, 2 * K))
+    ).astype(jnp.float32)
+    state_64 = jnp.asarray(to_p64(state_p))
+
+    for step in range(2):
+        ev = np.zeros((B, E, 4), np.float32)
+        ev[..., 0] = rng.integers(0, W, (B, E))
+        ev[..., 1] = rng.integers(0, H, (B, E))
+        ev[..., 2] = np.sort(rng.uniform(0, 1, (B, E)), axis=1)
+        ev[..., 3] = rng.integers(0, 2, (B, E))
+        nv = jnp.full(B, E, jnp.int32)
+        state_p = taf_stream_step_packed(state_p, jnp.asarray(ev), nv,
+                                         scatter="xla")
+        state_64, vol = pallas_update.taf_stream_step_kernel_p64(
+            state_64, jnp.asarray(ev), nv, height=H, width=W)
+        np.testing.assert_allclose(np.asarray(state_64),
+                                   to_p64(state_p), atol=5e-3,
+                                   err_msg=f"step {step}")
+        want_vol = to_p64(leaky_transform(state_p) / 255.0).reshape(
+            B, H // 2, W // 2, 8 * K)
+        np.testing.assert_allclose(np.asarray(vol), want_vol, atol=2e-2,
+                                   err_msg=f"step {step} vol")
+
+
+def test_p64_stems_match_canonical(rng):
+    """BinsFusionModulePatched / FocusPatched on patchified input ==
+    canonical stems on the raw grid, with SHARED parameters."""
+    import jax
+    from frlw_evd_tpu.models.blocks import Focus, space_to_depth_patches
+    from frlw_evd_tpu.models.stems import (BinsFusionModule,
+                                           BinsFusionModulePatched,
+                                           FocusPatched)
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, 16, 24, 16)).astype(np.float32))
+    xp = space_to_depth_patches(x)
+
+    for name, canon, patched in [
+        ("bfm", BinsFusionModule(out_channels=24),
+         BinsFusionModulePatched(out_channels=24)),
+        ("focus", Focus(out_channels=24),
+         FocusPatched(out_channels=24)),
+    ]:
+        v = jax.jit(canon.init, static_argnums=(2,))(jax.random.key(0), x,
+                                                     False)
+        v2 = jax.jit(patched.init, static_argnums=(2,))(jax.random.key(0),
+                                                        xp, False)
+        s1 = jax.tree.map(lambda a: a.shape, v)
+        s2 = jax.tree.map(lambda a: a.shape, v2)
+        assert s1 == s2, (name, s1, s2)
+        y1 = canon.apply(v, x, False)
+        y2 = patched.apply(v, xp, False)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                   atol=1e-5, err_msg=name)
+
+
+def test_p64_kernel_stem_matches_canonical(rng, monkeypatch):
+    """BinsFusionModulePatchedKernel (Pallas chain) == canonical BFM on the
+    raw grid, shared parameters (eval mode)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from frlw_evd_tpu.models import pallas_stem
+    from frlw_evd_tpu.models.blocks import space_to_depth_patches
+    from frlw_evd_tpu.models.stems import (BinsFusionModule,
+                                           BinsFusionModulePatchedKernel)
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_stem.pl, "pallas_call", interp_call)
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, 16, 24, 16)).astype(np.float32))
+    xp = space_to_depth_patches(x)
+    canon = BinsFusionModule(out_channels=24)
+    pk = BinsFusionModulePatchedKernel(out_channels=24)
+    v = jax.jit(canon.init, static_argnums=(2,))(jax.random.key(0), x, False)
+    v2 = jax.jit(pk.init, static_argnums=(2,))(jax.random.key(0), xp, False)
+    s1 = jax.tree.map(lambda a: a.shape, v)
+    s2 = jax.tree.map(lambda a: a.shape, v2)
+    assert s1 == s2, (s1, s2)
+    y1 = canon.apply(v, x, False)
+    y2 = pk.apply(v, xp, False)
+    # chain runs in bf16 inside the kernel
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=3e-2,
+                               rtol=1e-2)
