@@ -226,11 +226,93 @@ def synth_events(rng, steps, batch, e_per_bin, sensor_hw):
     return jnp.asarray(ev), jnp.asarray(n_valid)
 
 
+def synth_events_skewed(rng, steps, batch, e_per_bin, sensor_hw):
+    """Automotive-like statistics: spatially clustered + bursty.
+
+    ~70% of events concentrate in a handful of moving hotspots (vehicles,
+    edges) with Gaussian spread, the rest is background; the per-window
+    event count is lognormal-bursty (variable n_valid exercises the padding
+    path). This is the regime where the sorted scatter's Δ-band assumption
+    is stressed (dense clusters → many events per hi-row band) and where
+    the overflow fallback can trigger.
+    """
+    h, w = sensor_hw
+    n_hot = 6
+    S_, B_, E_ = steps, batch, e_per_bin
+    burst = np.clip(rng.lognormal(-0.3, 0.6, (S_, B_)), 0.05, 1.0)
+    n_valid = np.maximum((E_ * burst).astype(np.int32), 256)
+
+    cx0 = rng.uniform(0, w, (B_, n_hot))
+    cy0 = rng.uniform(0, h, (B_, n_hot))
+    vx = rng.uniform(-40, 40, (B_, n_hot))
+    vy = rng.uniform(-20, 20, (B_, n_hot))
+    sig = rng.uniform(4, max(h, w) / 12, (B_, n_hot))
+    t_idx = np.arange(S_)[:, None, None]
+    cx = np.clip(cx0[None] + vx[None] * 0.01 * t_idx, 0, w - 1)
+    cy = np.clip(cy0[None] + vy[None] * 0.01 * t_idx, 0, h - 1)
+
+    k = rng.integers(0, n_hot, (S_, B_, E_))
+    hx = np.take_along_axis(cx, k, axis=2)
+    hy = np.take_along_axis(cy, k, axis=2)
+    hs = np.take_along_axis(np.broadcast_to(sig[None], (S_, B_, n_hot)),
+                            k, axis=2)
+    x = hx + rng.normal(0, 1, (S_, B_, E_)) * hs
+    y = hy + rng.normal(0, 1, (S_, B_, E_)) * hs
+    bg = rng.random((S_, B_, E_)) < 0.3
+    x = np.where(bg, rng.uniform(0, w, (S_, B_, E_)), x)
+    y = np.where(bg, rng.uniform(0, h, (S_, B_, E_)), y)
+
+    ev = np.zeros((S_, B_, E_, 4), np.float32)
+    ev[..., 0] = np.clip(x, 0, w - 1)
+    ev[..., 1] = np.clip(y, 0, h - 1)
+    ev[..., 2] = np.sort(rng.uniform(0, 1, (S_, B_, E_)), axis=2)
+    ev[..., 3] = rng.integers(0, 2, (S_, B_, E_))
+    return jnp.asarray(ev), jnp.asarray(n_valid)
+
+
+def overflow_rate(ev, n_valid, sensor_hw, p64, s_chunk=1024, s_delta=256):
+    """Host-side replica of the sorted scatter's Δ-band check: fraction of
+    valid events that fall back to the serial-scatter pass."""
+    h, w = sensor_hw
+    lanes = 128
+    total = over = 0
+    steps, batch = ev.shape[:2]
+    for s in range(min(steps, 3)):
+        for b in range(batch):
+            n = int(n_valid[s, b])
+            x = np.asarray(ev[s, b, :n, 0]).astype(np.int64)
+            y = np.asarray(ev[s, b, :n, 1]).astype(np.int64)
+            p = np.asarray(ev[s, b, :n, 3]).astype(np.int64)
+            if p64:
+                sblk = (x & 1) * 2 + (y & 1)
+                cell = ((y >> 1) * (w // 2) + (x >> 1)) * 4 + sblk
+                idx = cell * 2 + p
+            else:
+                idx = (y * w + x) * 2 + p
+            n_hi = -(-(h * w * 2) // lanes)
+            pad = (-len(idx)) % s_chunk
+            idx = np.sort(np.concatenate([idx, np.full(pad, n_hi * lanes)]))
+            hi = idx // lanes
+            V = s_delta // 2
+            n_ch = len(idx) // s_chunk
+            hic = hi.reshape(n_ch, s_chunk)
+            base = (hic[:, 0] // V) * V
+            dh = hic - base[:, None]
+            in_grid = hic < n_hi
+            over += int((in_grid & (dh >= s_delta)).sum())
+            total += int(in_grid.sum())
+    return over / max(total, 1)
+
+
 def main():
     import argparse
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="gen1_taf", choices=CONFIGS)
+    parser.add_argument("--events", default="uniform",
+                        choices=("uniform", "skewed"),
+                        help="synthetic event statistics: uniform, or "
+                             "clustered+bursty automotive-like (VERDICT #6)")
     parser.add_argument("--profile", action="store_true",
                         help="also print a per-stage breakdown (split "
                              "pipeline only) to stderr")
@@ -272,8 +354,17 @@ def main():
                                  cfg.get("scatter", "mxu"),
                                  fused=cfg.get("fused", True))
         state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
-    events, n_valid = synth_events(rng, STEPS_PER_CALL, BATCH,
-                                   EVENTS_PER_BIN, sensor_hw)
+    if args.events == "skewed":
+        events, n_valid = synth_events_skewed(rng, STEPS_PER_CALL, BATCH,
+                                              EVENTS_PER_BIN, sensor_hw)
+        rate = overflow_rate(events, n_valid, sensor_hw, cfg.get("p64"))
+        print(f"# skewed stats: mean n_valid "
+              f"{float(np.mean(np.asarray(n_valid))):.0f}/{EVENTS_PER_BIN}, "
+              f"sorted-scatter overflow fallback rate {rate:.4%}",
+              file=sys.stderr)
+    else:
+        events, n_valid = synth_events(rng, STEPS_PER_CALL, BATCH,
+                                       EVENTS_PER_BIN, sensor_hw)
 
     # warmup / compile; force a host read — block_until_ready alone is not a
     # reliable fence on this experimental platform
@@ -318,8 +409,11 @@ def main():
           f"{elapsed / n_steps * 1000:.2f} ms per "
           f"{BATCH}-stream window batch", file=sys.stderr)
 
+    metric = cfg["metric"]
+    if args.events == "skewed":
+        metric += "_skewed"
     print(json.dumps({
-        "metric": cfg["metric"],
+        "metric": metric,
         "value": round(wps, 1),
         "unit": "windows/s/chip",
         "vs_baseline": round(wps / 100.0, 2),

@@ -1,0 +1,102 @@
+"""Learnability validation: train AED + EventVolume on a ~100-stream
+synthetic GEN1-like dataset to high AP50 on a held-out val split
+(VERDICT r1 #7 — evidence the trainer reaches real optima, not just that
+the loss plumbing coheres).
+
+Builds the dataset with the test-fixture generator (moving boxes + noise,
+deterministic), trains with the standard Trainer (yoloxwarmcos, SimOTA,
+per-epoch COCO eval, best-checkpoint selection) and prints one JSON line
+{"ap50": ..., "map": ...} for the best epoch.
+
+Usage:  python tools/learnability.py [-streams 50] [-epochs 12] [-out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-streams", type=int, default=50)
+    parser.add_argument("-epochs", type=int, default=12)
+    parser.add_argument("-batch", type=int, default=16)
+    parser.add_argument("-lr", type=float, default=2e-3)
+    parser.add_argument("-out", default="/tmp/learnability")
+    parser.add_argument("-ann_per_stream", type=int, default=6)
+    args = parser.parse_args()
+
+    from fixtures import INPUT_HW, SENSOR_HW, build_mini_gen1
+
+    root = os.path.join(args.out, "data")
+    marker = os.path.join(root, ".done")
+    rng = np.random.default_rng(7)
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        ann = tuple(600_000 + 40_000 * i for i in range(args.ann_per_stream))
+        print(f"building {args.streams}-stream synthetic dataset ...",
+              file=sys.stderr)
+        build_mini_gen1(root, rng=rng,
+                        streams=tuple(f"s{i:03d}" for i in range(args.streams)),
+                        splits=("train",), ann_times=ann)
+        build_mini_gen1(root, rng=rng,
+                        streams=tuple(f"v{i:02d}" for i in
+                                      range(max(args.streams // 5, 2))),
+                        splits=("val",), ann_times=ann)
+        open(marker, "w").write("ok")
+
+    from frlw_evd_tpu.train import Trainer, make_config
+
+    cfg = make_config(
+        "basic",
+        data_path=os.path.join(root, "data", "EventVolume250000"),
+        bbox_path=os.path.join(root, "labels"),
+        batch_size=args.batch,
+        num_workers=4,
+        max_epoch=args.epochs,
+        max_epoch_to_stop=args.epochs,
+        warmup_epochs=1,
+        augmentation=True,
+        half_precision=False,
+        event_volume_bins=5,
+        img_size_override=INPUT_HW,
+        sensor_hw_override=SENSOR_HW,
+        log_path=os.path.join(args.out, "log") + "/",
+        exp_name="learnability",
+    )
+    # init_lr = base_lr_per_64/64*batch (linear law); retarget via base
+    cfg.base_lr_per_64 = args.lr * 64.0 / args.batch
+    t = Trainer(cfg)
+    t.create_datasets()
+    t.build(len(t.train_loader))
+    from frlw_evd_tpu.evaluate.box_filtering import filter_boxes
+
+    best = {"map": -1.0, "ap50": -1.0, "epoch": -1}
+    for epoch in range(args.epochs):
+        losses = t.train_epoch()
+        ev = t.make_evaluator()
+        ev.filter_boxes = lambda b: filter_boxes(b, 0, 0, 0, 0)
+        stats = t.eval_epoch(ev)
+        print(f"# epoch {epoch}: loss {losses['total_loss']:.3f} "
+              f"mAP {stats[0]:.3f} AP50 {stats[1]:.3f}", file=sys.stderr)
+        if stats[0] > best["map"]:
+            best = {"map": float(stats[0]), "ap50": float(stats[1]),
+                    "epoch": epoch}
+    print(json.dumps({"metric": "synthetic_learnability_ap50",
+                      "value": round(best["ap50"], 4),
+                      "map": round(best["map"], 4),
+                      "best_epoch": best["epoch"],
+                      "streams": args.streams, "epochs": args.epochs}))
+
+
+if __name__ == "__main__":
+    main()
