@@ -342,7 +342,7 @@ def scatter_cnt_tsum_pallas_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
     # padded array serially costs ~135 ms at 1MEGAPIXEL batch 128, so the
     # overflow events are first compacted to a capped slice (XLA's serial
     # scatter prices every row, sentinels included)
-    cap = max(E_pad // 16, 2 * s_chunk)
+    cap = max(E_pad // 8, 2 * s_chunk)
     sent = jnp.int32(R * LANES)
 
     def add_overflow_compact(d):

@@ -33,6 +33,7 @@ def main():
     parser.add_argument("-lr", type=float, default=2e-3)
     parser.add_argument("-out", default="/tmp/learnability")
     parser.add_argument("-ann_per_stream", type=int, default=6)
+    parser.add_argument("-eval_every", type=int, default=5)
     args = parser.parse_args()
 
     from fixtures import INPUT_HW, SENSOR_HW, build_mini_gen1
@@ -83,6 +84,10 @@ def main():
     best = {"map": -1.0, "ap50": -1.0, "epoch": -1}
     for epoch in range(args.epochs):
         losses = t.train_epoch()
+        if (epoch + 1) % args.eval_every and epoch != args.epochs - 1:
+            print(f"# epoch {epoch}: loss {losses['total_loss']:.3f}",
+                  file=sys.stderr)
+            continue
         ev = t.make_evaluator()
         ev.filter_boxes = lambda b: filter_boxes(b, 0, 0, 0, 0)
         stats = t.eval_epoch(ev)
