@@ -47,7 +47,7 @@ class PropheseeDataset:
                  time_channels: int = 5, infer_time: int = 10000,
                  mode: str = "train", augment: bool = True,
                  clipping: bool = False, collapse_channels: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, sensor_hw=None):
         self.mode = mode
         self.augment = augment
         self.clipping = clipping
@@ -60,6 +60,11 @@ class PropheseeDataset:
         self.rng = random.Random(seed)
 
         (self.height, self.width), self.object_classes = dataset_geometry(dataset)
+        if sensor_hw is not None:
+            # non-standard sensor geometry (e.g. the mini test fixtures):
+            # labels are rescaled sensor→input with THIS geometry, so the
+            # hard-coded dataset default must not leak in
+            self.height, self.width = sensor_hw
 
         self.root = os.path.join(bbox_dir, mode)
         self.data_dir = data_dir
@@ -146,10 +151,11 @@ class PropheseeTafDataset(PropheseeDataset):
     def __init__(self, bbox_dir, data_dir, dataset="gen1",
                  input_img_size=(256, 320), img_size=(256, 320),
                  infer_time=10000, event_volume_bins=8, mode="train",
-                 augment=True, clipping=False, seed: int = 0):
+                 augment=True, clipping=False, seed: int = 0,
+                 sensor_hw=None):
         super().__init__(bbox_dir, data_dir, dataset, input_img_size, img_size,
                          event_volume_bins, infer_time, mode, augment,
-                         clipping, seed=seed)
+                         clipping, seed=seed, sensor_hw=sensor_hw)
 
     def _blob_path(self, stream, ts):
         # the index always checks the bins8 directory (dataset.py:266)

@@ -320,15 +320,19 @@ class Trainer:
     # -- data --------------------------------------------------------------
     def _make_dataset(self, mode: str, augment: bool):
         cfg = self.cfg
+        # sensor_hw_override must reach the dataset: labels are rescaled
+        # sensor→input inside it, and the hard-coded per-dataset geometry
+        # would silently mis-scale every box on non-standard sensors
+        sensor = cfg.sensor_hw_override
         if cfg.uses_taf_dataset:
             return PropheseeTafDataset(
                 cfg.bbox_path, cfg.data_path, cfg.dataset, cfg.img_size,
                 cfg.img_size, cfg.infer_time, cfg.event_volume_bins, mode,
-                augment, cfg.clipping, seed=cfg.seed)
+                augment, cfg.clipping, seed=cfg.seed, sensor_hw=sensor)
         return PropheseeDataset(
             cfg.bbox_path, cfg.data_path, cfg.dataset, cfg.img_size,
             cfg.img_size, cfg.event_volume_bins, cfg.infer_time, mode,
-            augment, cfg.clipping, seed=cfg.seed)
+            augment, cfg.clipping, seed=cfg.seed, sensor_hw=sensor)
 
     def create_datasets(self):
         cfg = self.cfg

@@ -1,5 +1,6 @@
 """Dataset / loader tests over the synthetic mini-GEN1 fixture."""
 
+import os
 import numpy as np
 import pytest
 
@@ -91,3 +92,29 @@ def test_xyxy2cxcywh():
     b = np.array([[10.0, 20, 30, 60]])
     out = xyxy2cxcywh(b)
     np.testing.assert_allclose(out[0], [20, 40, 20, 40])
+
+
+def test_labels_scaled_with_sensor_override(tmp_path):
+    """Labels must be rescaled sensor→input with the CONFIGURED sensor
+    geometry; the hard-coded per-dataset default silently shrank every box
+    ~4x on the mini fixture (16 px → 16*96/304 ≈ 5 px), which pinned box
+    regression at iou=0 in training."""
+    from fixtures import INPUT_HW, SENSOR_HW, build_mini_gen1
+    from frlw_evd_tpu.data.dataset import PropheseeDataset
+    from frlw_evd_tpu.events.npy_codec import load_bboxes
+
+    paths = build_mini_gen1(str(tmp_path), splits=("train",))
+    ds = PropheseeDataset(paths["labels"], paths["ev_dir"], "gen1",
+                          INPUT_HW, INPUT_HW, 5, 10000, "train",
+                          augment=False, sensor_hw=SENSOR_HW)
+    img, padded, stream, ts = ds[0]
+    rows = padded[padded[:, 3] > 0]       # train rows [cls, cx, cy, w, h]
+    raw = load_bboxes(os.path.join(paths["labels"], "train",
+                                   f"{stream}_bbox.npy"))
+    raw = raw[raw["t"] == ts]
+    rh = INPUT_HW[0] / SENSOR_HW[0]
+    rw = INPUT_HW[1] / SENSOR_HW[1]
+    want_w = np.sort(raw["w"] * rw)
+    np.testing.assert_allclose(np.sort(rows[:, 3]), want_w, rtol=1e-5)
+    want_cx = np.sort((raw["x"] + raw["w"] / 2) * rw)
+    np.testing.assert_allclose(np.sort(rows[:, 1]), want_cx, rtol=1e-5)

@@ -34,6 +34,7 @@ def main():
     parser.add_argument("-out", default="/tmp/learnability")
     parser.add_argument("-ann_per_stream", type=int, default=6)
     parser.add_argument("-eval_every", type=int, default=5)
+    parser.add_argument("-no_augment", action="store_true")
     args = parser.parse_args()
 
     from fixtures import INPUT_HW, SENSOR_HW, build_mini_gen1
@@ -66,7 +67,7 @@ def main():
         max_epoch=args.epochs,
         max_epoch_to_stop=args.epochs,
         warmup_epochs=1,
-        augmentation=True,
+        augmentation=not args.no_augment,
         half_precision=False,
         event_volume_bins=5,
         img_size_override=INPUT_HW,
