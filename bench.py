@@ -57,7 +57,7 @@ CONFIGS = {
     # batch sweep: 16 -> 264 w/s, 32 -> 338, 64 -> 433, 128 -> 494
     "gen4_taf": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=128,
                      events_per_bin=65536, fused=False, scatter="pallas",
-                     p64=True,
+                     p64=True, folded_stem=True,
                      metric="gen4_aed_taf8_encode_detect_throughput"),
     # previous packed-state (full-res 16-channel) pipeline for A/B
     "gen4_taf_packed": dict(sensor_hw=(512, 640), input_hw=(512, 640),
@@ -74,7 +74,8 @@ K = 8
 STEPS_PER_CALL = 10   # distinct synthetic event batches cycled over
 
 
-def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas"):
+def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas",
+                      folded=False):
     """Patchified-state pipeline: the TAF queue lives at quarter resolution
     with the 2x2 subpixels packed into channels (s-major, 4*2K = 64-channel
     minor → 4x the TPU lane occupancy of the 16-channel layout), the fused
@@ -89,7 +90,8 @@ def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas"):
     def encode_transform(state_f, xytp, n_valid):
         return taf_stream_step_kernel_p64(state_f, xytp, n_valid,
                                           height=h, width=w,
-                                          scatter=scatter, precise=False)
+                                          scatter=scatter, precise=False,
+                                          fold_output=folded)
 
     @jax.jit
     def detect(vol):
@@ -309,6 +311,8 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="gen1_taf", choices=CONFIGS)
+    parser.add_argument("--batch", type=int, default=0,
+                        help="override config batch size")
     parser.add_argument("--events", default="uniform",
                         choices=("uniform", "skewed"),
                         help="synthetic event statistics: uniform, or "
@@ -320,12 +324,19 @@ def main():
     cfg = CONFIGS[args.config]
     sensor_hw, input_hw = cfg["sensor_hw"], cfg["input_hw"]
     BATCH, EVENTS_PER_BIN = cfg["batch"], cfg["events_per_bin"]
+    if args.batch:
+        BATCH = args.batch
     nc = 2 if args.config.startswith("gen1") else 7
 
     rng = np.random.default_rng(0)
     stem = "bfm_p64" if cfg.get("p64") else "bfm"
+    if cfg.get("folded_stem"):
+        stem = "bfm_folded"
     model = build_detector(nc, family="aed", stem=stem)
-    if cfg.get("p64"):
+    if cfg.get("folded_stem"):
+        sample = jnp.zeros((BATCH, input_hw[0] // 2,
+                            (input_hw[1] // 2) * 8 * K), jnp.bfloat16)
+    elif cfg.get("p64"):
         sample = jnp.zeros((BATCH, input_hw[0] // 2, input_hw[1] // 2,
                             8 * K), jnp.bfloat16)
     else:
@@ -343,7 +354,8 @@ def main():
         from frlw_evd_tpu.encode.pallas_update import p64_init_state
 
         run_step = make_pipeline_p64(model, variables, sensor_hw,
-                                     cfg.get("scatter", "pallas"))
+                                     cfg.get("scatter", "pallas"),
+                                     folded=bool(cfg.get("folded_stem")))
         state = p64_init_state(BATCH, h, w, K)
     elif cfg.get("packed"):
         run_step = make_pipeline_packed(model, variables, sensor_hw,

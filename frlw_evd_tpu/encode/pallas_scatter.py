@@ -243,12 +243,14 @@ def _pair_kernel(idx_ref, t_ref, out_ref, acc_ref, *, n_iters, s_chunk,
     out_ref[0] = out_ref[0] + acc_ref[:]
 
 
-@partial(jax.jit, static_argnames=("size", "precise", "s_chunk", "s_delta"))
+@partial(jax.jit, static_argnames=("size", "precise", "s_chunk", "s_delta",
+                                   "raw"))
 def scatter_cnt_tsum_pallas_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
                                    valid: jnp.ndarray, size: int,
                                    precise: bool = True,
                                    s_chunk: int = S_CHUNK,
-                                   s_delta: int = S_DELTA):
+                                   s_delta: int = S_DELTA,
+                                   raw: bool = False):
     """Batched fused count + value-sum histogram: sort + banded VMEM kernel.
 
     Same contract as mxu_scatter.scatter_cnt_tsum_sorted: idx/tvals/valid
@@ -361,6 +363,12 @@ def scatter_cnt_tsum_pallas_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
                                add_overflow_compact, d),
         lambda d: d, out)
 
+    if raw:
+        # consumers with Pallas readers take the (B, R, ncol*LANES) layout
+        # directly (cnt = lanes [0:128), tsum = lanes [128:256)) and skip
+        # the (B, size) materialisation; only valid for precise=False
+        assert not precise
+        return out.reshape(B, R, ncol * LANES), R
     dense3 = out.reshape(B, R, ncol, LANES)
     cnt = dense3[:, :, 0, :].reshape(B, -1)[:, :size]
     if precise:

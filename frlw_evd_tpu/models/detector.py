@@ -80,6 +80,11 @@ def _bfm_p64_kernel(*args, **kwargs):
     return BinsFusionModulePatchedKernel(*args, **kwargs)
 
 
+def _bfm_folded(*args, **kwargs):
+    from .stems import BinsFusionModuleFolded
+    return BinsFusionModuleFolded(*args, **kwargs)
+
+
 def _focus_p64(*args, **kwargs):
     from .stems import FocusPatched
     return FocusPatched(*args, **kwargs)
@@ -94,6 +99,7 @@ _STEMS = {
     "focus_p64": _focus_p64,
     "bfm_p64": _bfm_p64,
     "bfm_p64_kernel": _bfm_p64_kernel,
+    "bfm_folded": _bfm_folded,
     "taf_swin": _swin_stem,
     "taf_corr": _corr_stem,
     "taf_3d": _taf3d_stem,

@@ -259,6 +259,98 @@ class BinsFusionModulePatchedKernel(nn.Module):
                         name="conv")(h, train)
 
 
+class BinsFusionModuleFolded(nn.Module):
+    """BFM stem for FOLDED pre-patchified input (B, H/2, (W/2)*4*2K).
+
+    The channel chain + MLP run in the pair-packed Pallas kernel
+    (models/pallas_stem.bfm_chain_apply_folded) over full-lane folded
+    blocks; the final 3x3 conv applies the canonical (3,3,48,64) kernel
+    zero-padded to 64 input channels (the kernel emits 48 real + 16 zero
+    channels per pixel so the folded→NHWC reshape stays tile-aligned).
+    Inference-only (dropout ignored); parameter tree identical to
+    BinsFusionModule."""
+
+    out_channels: int
+    ksize: int = 3
+    act: str = "silu"
+    embed_dim: int = 4
+    dropout_rate: float = 0.1
+    pixel_channels: int = 64     # S * 2K
+
+    @nn.compact
+    def __call__(self, x_f, train: bool = False):
+        from .pallas_stem import bfm_chain_apply_folded
+
+        S = 4
+        B, H2, WF = x_f.shape
+        W2 = WF // self.pixel_channels
+        in_channels = self.pixel_channels // S
+        tc = in_channels // 2
+        n_lvl = int(log2(tc))
+        mixer = self.embed_dim * n_lvl
+        params = {}
+        t = tc
+        cin = in_channels
+        for i in range(n_lvl):
+            groups = int(t / 2)
+            out_ch = int(self.embed_dim * t / 2)
+            params[f"convs_{i}"] = _WNParams(cin // groups, out_ch,
+                                             name=f"convs_{i}")()
+            cin = out_ch
+            t //= 2
+        params["trans_up"] = _ConvParams(mixer, mixer * 4,
+                                         name="trans_up")()
+        params["trans_down"] = _ConvParams(mixer * 4, mixer,
+                                           name="trans_down")()
+        h64_f = bfm_chain_apply_folded(x_f.astype(jnp.bfloat16), params,
+                                       act=self.act, width=W2)
+        h = h64_f.reshape(B, H2, W2, 64)
+        return _PadInBaseConv(self.out_channels, S * mixer, self.ksize,
+                              act=self.act, name="conv")(h, train)
+
+
+class _PadInBaseConv(nn.Module):
+    """BaseConv whose conv kernel has canonical (k,k,real_in,out) params but
+    is applied to a zero-padded (…, padded_in) input (extra channels are
+    identically zero, so padding the kernel with zero rows is exact)."""
+
+    out_channels: int
+    real_in: int
+    ksize: int = 3
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import jax
+
+        x = _PadKernelConv2d(self.out_channels, self.real_in,
+                             self.ksize, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn")(x)
+        return get_activation(self.act)(x)
+
+
+class _PadKernelConv2d(nn.Module):
+    features: int
+    real_in: int
+    ksize: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.ksize, self.ksize, self.real_in, self.features))
+        pad_in = x.shape[-1]
+        kp = jnp.zeros((self.ksize, self.ksize, pad_in, self.features),
+                       x.dtype)
+        kp = kp.at[:, :, :self.real_in, :].set(k.astype(x.dtype))
+        pad = (self.ksize - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x, kp, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class FocusPatched(nn.Module):
     """Focus stem for PRE-PATCHIFIED input: just the 3x3 conv (canonical
     parameter tree — conv/conv/kernel (3,3,4C,O))."""

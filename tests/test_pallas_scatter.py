@@ -239,3 +239,38 @@ def test_p64_kernel_stem_matches_canonical(rng, monkeypatch):
     # chain runs in bf16 inside the kernel
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=3e-2,
                                rtol=1e-2)
+
+
+def test_folded_kernel_stem_matches_canonical(rng, monkeypatch):
+    """BinsFusionModuleFolded (pair-packed folded Pallas chain + zero-padded
+    final conv) == canonical BFM on the raw grid, shared params."""
+    import jax
+    from jax.experimental import pallas as pl
+    from frlw_evd_tpu.models import pallas_stem
+    from frlw_evd_tpu.models.blocks import space_to_depth_patches
+    from frlw_evd_tpu.models.stems import (BinsFusionModule,
+                                           BinsFusionModuleFolded)
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_stem.pl, "pallas_call", interp_call)
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, 16, 24, 16)).astype(np.float32))
+    xp = space_to_depth_patches(x)                  # (2, 8, 12, 64)
+    xf = xp.reshape(2, 8, 12 * 64)
+    canon = BinsFusionModule(out_channels=24)
+    fold = BinsFusionModuleFolded(out_channels=24)
+    v = jax.jit(canon.init, static_argnums=(2,))(jax.random.key(0), x, False)
+    v2 = jax.jit(fold.init, static_argnums=(2,))(jax.random.key(0), xf,
+                                                 False)
+    s1 = jax.tree.map(lambda a: a.shape, v)
+    s2 = jax.tree.map(lambda a: a.shape, v2)
+    assert s1 == s2, (s1, s2)
+    y1 = canon.apply(v, x, False)
+    y2 = fold.apply(v, xf, False)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=3e-2,
+                               rtol=1e-2)
