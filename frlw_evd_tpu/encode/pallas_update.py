@@ -20,6 +20,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _pallas_call(*args, **kwargs):
+    """pl.pallas_call, interpreted automatically on CPU backends (tests and
+    the driver's virtual-CPU multichip dryrun run the same kernels)."""
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        kwargs.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kwargs)
+
+
 ROWS = 32
 
 
@@ -66,7 +77,7 @@ def taf_update_leaky(state_f, tm_f, any_ev, *, height: int, width: int):
     grid = (B, H // rows)
     bspec = lambda dt: pl.BlockSpec((1, rows, WF), lambda b, r: (b, r, 0),
                                     memory_space=pltpu.VMEM)
-    out_state, vol = pl.pallas_call(
+    out_state, vol = _pallas_call(
         partial(_update_kernel, C=C),
         grid=grid,
         in_specs=[bspec(jnp.float32), bspec(jnp.bfloat16),
@@ -193,7 +204,7 @@ def taf_update_leaky_v2(state_f, cnt_r, tsum_r, any_ev, *, height: int,
     bspec = lambda wid: pl.BlockSpec((1, rows, wid), lambda b, r: (b, r, 0),
                                      memory_space=pltpu.VMEM)
     Wc = cnt_r.shape[-1]
-    out_state, vol = pl.pallas_call(
+    out_state, vol = _pallas_call(
         partial(_update_kernel_v2, C=C),
         grid=grid,
         in_specs=[bspec(WF), bspec(Wc), bspec(Wc),
@@ -255,7 +266,7 @@ def taf_update_leaky_raw(state_f, raw, any_ev, *, height: int, width: int):
     raw_spec = lambda col: pl.BlockSpec(
         (1, cells_rows, 128), lambda b, r, c=col: (b, r, c),
         memory_space=pltpu.VMEM)
-    out_state, vol = pl.pallas_call(
+    out_state, vol = _pallas_call(
         partial(_update_kernel_raw, C=C),
         grid=grid,
         in_specs=[bspec(), raw_spec(0), raw_spec(1),
@@ -281,8 +292,9 @@ def p64_init_state(batch: int, height: int, width: int, K: int = 8):
 
 @partial(jax.jit, static_argnames=("height", "width", "scatter", "precise",
                                    "fold_output"), donate_argnums=(0,))
-def taf_stream_step_kernel_p64(state_f, xytp, n_valid, *, height: int,
-                               width: int, scatter: str = "pallas",
+def taf_stream_step_kernel_p64(state_f, xytp, n_valid, any_events=None, *,
+                               height: int, width: int,
+                               scatter: str = "pallas",
                                precise: bool = False,
                                fold_output: bool = False):
     """Streaming TAF step on the PATCHIFIED folded state.
@@ -322,8 +334,13 @@ def taf_stream_step_kernel_p64(state_f, xytp, n_valid, *, height: int,
         # layout directly; the (B, size) cnt/tsum never materialise
         raw, R = scatter_cnt_tsum_pallas_sorted(idx, tv, valid, P,
                                                 False, raw=True)
-        any_ev = jnp.any(raw[:, :P // 128, :128] > 0,
-                         axis=(1, 2)).astype(jnp.float32)
+        if any_events is None:
+            any_ev = jnp.any(raw[:, :P // 128, :128] > 0,
+                             axis=(1, 2)).astype(jnp.float32)
+        else:
+            # spatially-sharded callers pass the GLOBAL flag so a shard
+            # with no local events still ages with the rest of the frame
+            any_ev = any_events.astype(jnp.float32)
         state_f, vol_f = taf_update_leaky_raw(state_f, raw, any_ev,
                                               height=H2, width=W2 * 4)
         if fold_output:
@@ -335,7 +352,10 @@ def taf_stream_step_kernel_p64(state_f, xytp, n_valid, *, height: int,
     else:
         cnt, tsum = scatter_cnt_tsum_sorted(idx, tv, valid, P, precise)
 
-    any_ev = jnp.any(cnt.reshape(B, -1) > 0, axis=1).astype(jnp.float32)
+    if any_events is None:
+        any_ev = jnp.any(cnt.reshape(B, -1) > 0, axis=1).astype(jnp.float32)
+    else:
+        any_ev = any_events.astype(jnp.float32)
     if K == 8:
         # v2: cell→channel broadcast happens in-kernel (expansion matmul)
         cnt_r = cnt.reshape(B, H2, W2 * 8)

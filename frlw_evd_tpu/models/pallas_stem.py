@@ -26,6 +26,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _pallas_call(*args, **kwargs):
+    """pl.pallas_call, interpreted automatically on CPU backends (tests and
+    the driver's virtual-CPU multichip dryrun run the same kernels)."""
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        kwargs.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kwargs)
+
+
 ROWS = 16
 S = 4            # subpixel blocks (2x2 space-to-depth)
 PAIR = 2         # pixels packed per 128-lane matrix row (2 x 64ch)
@@ -179,7 +190,7 @@ def bfm_chain_apply_folded(vol_f, params, act: str = "silu",
            dense[2][0], dense[2][1].reshape(1, -1),
            sel[0], sel[1], sel[2],
            wu, bu.reshape(1, -1), wd, bd.reshape(1, -1), pmat]
-    out = pl.pallas_call(
+    out = _pallas_call(
         partial(_chain_kernel_folded, act=act, n_pair=n_pair),
         grid=(B, H2 // rows),
         in_specs=[pl.BlockSpec((1, rows, WF), lambda b, r: (b, r, 0),
@@ -249,7 +260,7 @@ def bfm_chain_apply(vol, params, act: str = "silu"):
         rows //= 2
     const = lambda shape: pl.BlockSpec(shape, lambda b, r: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out = _pallas_call(
         partial(_stem_chain_kernel, act=act),
         grid=(B, H2 // rows),
         in_specs=[pl.BlockSpec((1, rows, W2, C), lambda b, r: (b, r, 0, 0),

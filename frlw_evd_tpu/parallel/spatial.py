@@ -67,3 +67,50 @@ def make_spatial_taf_step(mesh: Mesh, height: int, axis: str = "data",
         out_specs=P(batch_axis, axis),
         check_rep=False)
     return jax.jit(step)
+
+
+def shard_taf_state_p64(mesh: Mesh, state_f: jnp.ndarray,
+                        axis: str = "data") -> jnp.ndarray:
+    """Place a folded p64 queue (B, H/2, (W/2)*4*2K) with the quarter-row
+    axis sharded over `axis`."""
+    return jax.device_put(state_f, NamedSharding(mesh, P(None, axis)))
+
+
+def make_spatial_taf_step_p64(mesh: Mesh, height: int, width: int,
+                              axis: str = "data", scatter: str = "sorted",
+                              batch_axis=None):
+    """Spatially-sharded p64 streaming TAF step (the 1 Mpx multi-chip
+    scale-out for the production pipeline layout).
+
+    state_f (B, H/2, (W/2)*64) folded p64 queue with H/2 sharded; events
+    carry GLOBAL coordinates and are replicated over the spatial axis — each
+    shard rebases y into its own row range and the encoder's bounds check
+    drops foreign events, so the encode step needs no collectives. Returns
+    a jitted (state_f, xytp, n_valid) → (state_f, vol_folded) step.
+    """
+    from ..encode.pallas_update import taf_stream_step_kernel_p64
+
+    n_shards = mesh.shape[axis]
+    local_h2 = (height // 2) // n_shards
+
+    def local_step(state_f, xytp, n_valid):
+        shard = jax.lax.axis_index(axis)
+        y0 = shard * local_h2 * 2
+        local = xytp.at[..., 1].add(-y0)
+        E = xytp.shape[1]
+        valid = jnp.arange(E)[None, :] < n_valid[:, None]
+        any_global = jnp.any(valid & (xytp[..., 1] >= 0)
+                             & (xytp[..., 1] < height), axis=1)
+        return taf_stream_step_kernel_p64(
+            state_f, local, n_valid, any_global,
+            height=local_h2 * 2, width=width, scatter=scatter,
+            fold_output=True)
+
+    from jax.experimental.shard_map import shard_map
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(batch_axis, axis), P(batch_axis), P(batch_axis)),
+        out_specs=(P(batch_axis, axis), P(batch_axis, axis)),
+        check_rep=False)
+    return jax.jit(step)

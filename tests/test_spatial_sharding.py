@@ -82,3 +82,50 @@ def test_spatial_plus_data_parallel_2d_mesh(rng):
                                        NamedSharding(mesh, P("data"))),
                jax.device_put(nv, NamedSharding(mesh, P("data"))))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_spatial_p64_matches_unsharded(monkeypatch):
+    """Sharded p64 streaming step == unsharded, exact (8-device CPU mesh)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from frlw_evd_tpu.encode import pallas_scatter, pallas_update
+    from frlw_evd_tpu.parallel.mesh import make_mesh
+    from frlw_evd_tpu.parallel.spatial import (make_spatial_taf_step_p64,
+                                               shard_taf_state_p64)
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_scatter.pl, "pallas_call", interp_call)
+    monkeypatch.setattr(pallas_update.pl, "pallas_call", interp_call)
+
+    B, H, W, K, E = 2, 64, 64, 8, 700
+    rng = np.random.default_rng(0)
+    ev = np.zeros((B, E, 4), np.float32)
+    ev[..., 0] = rng.integers(0, W, (B, E))
+    ev[..., 1] = rng.integers(0, H, (B, E))
+    ev[..., 2] = np.sort(rng.uniform(0, 1, (B, E)), axis=1)
+    ev[..., 3] = rng.integers(0, 2, (B, E))
+    nv = jnp.full(B, E, jnp.int32)
+
+    mesh = make_mesh(4, axis_names=("data",))
+    state_sh = shard_taf_state_p64(
+        mesh, jnp.full((B, H // 2, (W // 2) * 8 * K), -6000.0, jnp.float32))
+    step = make_spatial_taf_step_p64(mesh, H, W, scatter="sorted")
+    with mesh:
+        state_sh, vol_sh = step(state_sh, jnp.asarray(ev), nv)
+
+    state_ref = jnp.full((B, H // 2, (W // 2) * 8 * K), -6000.0, jnp.float32)
+    state_ref, vol_ref = pallas_update.taf_stream_step_kernel_p64(
+        state_ref, jnp.asarray(ev), nv, height=H, width=W,
+        scatter="sorted", fold_output=True)
+
+    np.testing.assert_allclose(np.asarray(state_sh), np.asarray(state_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vol_sh), np.asarray(vol_ref),
+                               atol=1e-3)
