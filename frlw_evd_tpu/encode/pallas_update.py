@@ -196,6 +196,10 @@ def taf_update_leaky_v2(state_f, cnt_r, tsum_r, any_ev, *, height: int,
     B, H, WF = state_f.shape
     C = 16
     K = C // 2
+    Wc = cnt_r.shape[-1]
+    assert Wc % 128 == 0, (
+        f"taf_update_leaky_v2 needs cells-per-row divisible by 128 "
+        f"(width/2 %% 16 == 0); got {Wc} cell columns")
     M = jnp.asarray(_expansion_matrix(K)).astype(jnp.bfloat16)
     rows = ROWS
     while H % rows or rows * WF * 9 * 4 > 12 * 1024 * 1024:
@@ -203,7 +207,6 @@ def taf_update_leaky_v2(state_f, cnt_r, tsum_r, any_ev, *, height: int,
     grid = (B, H // rows)
     bspec = lambda wid: pl.BlockSpec((1, rows, wid), lambda b, r: (b, r, 0),
                                      memory_space=pltpu.VMEM)
-    Wc = cnt_r.shape[-1]
     out_state, vol = _pallas_call(
         partial(_update_kernel_v2, C=C),
         grid=grid,
@@ -255,6 +258,9 @@ def taf_update_leaky_raw(state_f, raw, any_ev, *, height: int, width: int):
     B, H, WF = state_f.shape
     C = 16
     K = C // 2
+    assert (WF // 8) % 128 == 0, (
+        f"taf_update_leaky_raw needs cells-per-row divisible by 128 "
+        f"(width/2 %% 16 == 0); got folded width {WF}")
     M = jnp.asarray(_expansion_matrix(K)).astype(jnp.bfloat16)
     rows = ROWS
     while H % rows or rows * WF * 9 * 4 > 12 * 1024 * 1024:
@@ -335,8 +341,10 @@ def taf_stream_step_kernel_p64(state_f, xytp, n_valid, any_events=None, *,
         raw, R = scatter_cnt_tsum_pallas_sorted(idx, tv, valid, P,
                                                 False, raw=True)
         if any_events is None:
-            any_ev = jnp.any(raw[:, :P // 128, :128] > 0,
-                             axis=(1, 2)).astype(jnp.float32)
+            # from the valid mask, not the raw scatter rows: a slice of
+            # raw[:, :P // 128] drops tail cells when P % 128 != 0 (and a
+            # ceil slice would include the sentinel lane)
+            any_ev = jnp.any(valid, axis=1).astype(jnp.float32)
         else:
             # spatially-sharded callers pass the GLOBAL flag so a shard
             # with no local events still ages with the rest of the frame

@@ -74,8 +74,8 @@ class BaseConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.patchify_fused:
-            assert (self.ksize, self.stride, self.groups,
-                    self.use_bias) == (3, 1, 1, False)
+            assert (self.ksize, self.stride, self.groups, self.use_bias,
+                    self.dropout) == (3, 1, 1, False, 0.0)
             x = _PatchFusedConv2d(self.out_channels, name="conv")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name="bn")(x)

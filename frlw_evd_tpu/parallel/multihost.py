@@ -24,12 +24,28 @@ def is_multiprocess() -> bool:
 
 
 def gather_objects(obj: Any) -> List[Any]:
-    """Gather a picklable object from every process (single-process: [obj])."""
+    """Gather a picklable object from every process (single-process: [obj]).
+
+    Mirrors the reference's pickle-over-gloo all_gather
+    (core/yolox/utils/dist.py:186-265): the object is pickled to bytes,
+    padded to the max size across processes (sizes exchanged first), moved
+    through a device all-gather, and unpickled per process."""
     if not is_multiprocess():
         return [obj]
+    import pickle
+
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj, tiled=False))
+    buf = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(len(buf), jnp.int32))).reshape(-1)
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[:len(buf)] = buf
+    gathered = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(padded)))
+    return [pickle.loads(gathered[i, :sizes[i]].tobytes())
+            for i in range(len(sizes))]
 
 
 def sync_batch_stats(batch_stats):

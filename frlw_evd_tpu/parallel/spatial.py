@@ -19,6 +19,18 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _shard_map(f, mesh, in_specs, out_specs):
+    """jax.shard_map on current jax (check_vma kwarg); falls back to the
+    deprecated jax.experimental.shard_map path on older releases."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=False)
+
+
 def shard_taf_state(mesh: Mesh, state: jnp.ndarray,
                     axis: str = "data") -> jnp.ndarray:
     """Place a (B, H, W, 2, K) queue with H sharded over `axis`."""
@@ -59,13 +71,10 @@ def make_spatial_taf_step(mesh: Mesh, height: int, axis: str = "data",
         return taf_stream_step(state, local, n_valid, any_global,
                                use_mxu=use_mxu)
 
-    from jax.experimental.shard_map import shard_map
-
-    step = shard_map(
+    step = _shard_map(
         local_step, mesh=mesh,
         in_specs=(P(batch_axis, axis), P(batch_axis), P(batch_axis)),
-        out_specs=P(batch_axis, axis),
-        check_rep=False)
+        out_specs=P(batch_axis, axis))
     return jax.jit(step)
 
 
@@ -106,11 +115,8 @@ def make_spatial_taf_step_p64(mesh: Mesh, height: int, width: int,
             height=local_h2 * 2, width=width, scatter=scatter,
             fold_output=True)
 
-    from jax.experimental.shard_map import shard_map
-
-    step = shard_map(
+    step = _shard_map(
         local_step, mesh=mesh,
         in_specs=(P(batch_axis, axis), P(batch_axis), P(batch_axis)),
-        out_specs=(P(batch_axis, axis), P(batch_axis, axis)),
-        check_rep=False)
+        out_specs=(P(batch_axis, axis), P(batch_axis, axis)))
     return jax.jit(step)

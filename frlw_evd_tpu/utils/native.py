@@ -27,26 +27,32 @@ def _load():
     if _tried:
         return _lib
     _tried = True
+    # run make unconditionally (no-op when fresh): a stale pre-existing .so
+    # missing newer symbols must be rebuilt, not loaded as-is
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
     if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+        dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i64 = ctypes.c_int64
+        lib.compute_area.argtypes = [dp, i64, dp]
+        lib.compute_overlap.argtypes = [dp, i64, dp, i64, dp]
+        lib.event_queue_tensor.argtypes = [dp, i64, i64, i64, i64, i64, i64,
+                                           fp]
+        ip = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.coco_match.argtypes = [dp, ip, dp, ip, i64, dp, i64, dp, i64,
+                                   i8p, ip]
+    except (OSError, AttributeError):
+        # missing symbol (stale .so that somehow survived make) or load
+        # failure → engage the numpy fallbacks instead of crashing
         return None
-    dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-    fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-    i64 = ctypes.c_int64
-    lib.compute_area.argtypes = [dp, i64, dp]
-    lib.compute_overlap.argtypes = [dp, i64, dp, i64, dp]
-    lib.event_queue_tensor.argtypes = [dp, i64, i64, i64, i64, i64, i64, fp]
-    ip = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
-    lib.coco_match.argtypes = [dp, ip, dp, ip, i64, dp, i64, dp, i64,
-                               i8p, ip]
     _lib = lib
     return _lib
 
