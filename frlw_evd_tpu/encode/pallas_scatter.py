@@ -10,9 +10,10 @@ Two generations:
   The (CHUNK, Δ)/(CHUNK, 128) one-hot operands live only in VMEM — the XLA
   sorted formulation (mxu_scatter.scatter_cnt_tsum_sorted) materialises
   ~6 GB/window of one-hots through HBM at 1MEGAPIXEL scale, which is where
-  its time goes. Events whose sorted chunk spans more than Δ hi-rows fall
-  back to one XLA scatter pass, guarded by lax.cond (same scheme as the XLA
-  sorted path).
+  its time goes. Events whose sorted chunk spans more than Δ hi-rows are
+  re-banded in-kernel per 128-event sub-chunk (pl.when-gated second-level
+  band); the rare events both levels miss fall back to one XLA scatter
+  pass, guarded by lax.cond (same scheme as the XLA sorted path).
 
 Reference behavior being accelerated: the index_add_ event histogram inside
 generate_taf.py:23-27 / data/sparse_ops.py:80-85.
@@ -26,6 +27,16 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+def _pallas_call(*args, **kwargs):
+    """pl.pallas_call, interpreted automatically on CPU backends (tests and
+    the driver's virtual-CPU multichip dryrun run the same kernels)."""
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        kwargs.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kwargs)
+
 
 LANES = 128
 CHUNK = 1024
@@ -107,7 +118,7 @@ def scatter_cnt_tsum_pallas(idx: jnp.ndarray, tvals: jnp.ndarray,
 
     E_pad = idx.shape[1]
     as3 = lambda a: a.reshape(B, 1, E_pad)
-    out = pl.pallas_call(
+    out = _pallas_call(
         _kernel,
         grid=(B,),
         in_specs=[
@@ -152,66 +163,94 @@ def _choose_tq(n_rows: int) -> int:
     return tq
 
 
-def _band2_base(hi, V, s_delta, max_base, n_hi):
-    """End-anchored second band: snap the chunk's last in-grid row so the
-    band covers [last - (Δ-V), last + V)."""
-    last = jnp.max(jnp.where(hi < n_hi, hi, 0))
-    return jnp.clip((last // V) * V - (s_delta - V), 0, max_base)
+S_SUB = 128           # sub-chunk granularity of the second-level band
 
 
-def _banded_body(hi, lo, t_c, part_dst, *, s_chunk, s_delta, ncol, max_base,
-                 n_hi=None):
-    """One sub-chunk: build local one-hots, contract on the MXU, band-add.
+def _build_u(lo, t_c, n, ncol):
+    """Lane one-hot with value columns: U[e] = onehot(lo[e]) ⊗ cols(t)."""
+    oh_lo = (lo[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (n, LANES), 1)).astype(jnp.bfloat16)
+    if ncol == 2:
+        return jnp.concatenate(
+            [oh_lo, oh_lo * t_c[:, None].astype(jnp.bfloat16)], axis=1)
+    t_hi = t_c.astype(jnp.bfloat16)
+    t_lo_col = (t_c - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate(
+        [oh_lo, oh_lo * t_hi[:, None], oh_lo * t_lo_col[:, None]], axis=1)
 
-    A chunk of sorted events usually spans < Δ hi-rows (the start-anchored
-    band covers it). An optional predicated END-anchored second band
-    (n_hi not None) catches the clustered-stream tail (4.5%% → 0.5%%
-    residual on the skewed benchmark) — measured SLOWER than the compacted
-    serial fallback on v5e (pl.when'd dot+RMW fires on most cluster chunks),
-    so production passes n_hi=None; kept for reference/experiments."""
+
+def _banded_body(hi, lo, t_c, part_dst, *, s_chunk, s_delta, ncol, max_base):
+    """One chunk: build local one-hots, contract on the MXU, band-add.
+
+    A chunk of sorted events usually spans < Δ hi-rows, so one band
+    anchored at the chunk's first row covers it. Events the band misses
+    (sparse regions of clustered streams) are handled by the kernels'
+    second-level sub-chunk pass (_subband_pass); anything missed by both
+    goes to the caller's compacted serial fallback."""
     V = s_delta // 2
     base = jnp.clip((hi[0] // V) * V, 0, max_base)
     # mask folded into the index: rows outside the Δ band get s_delta, which
     # never matches the iota (Mosaic cannot reshape i1 vectors)
-    dh_raw = hi - base
-    dh = jnp.clip(dh_raw, 0, s_delta)
+    dh = jnp.clip(hi - base, 0, s_delta)
     oh_dh = (dh[:, None] == jax.lax.broadcasted_iota(
         jnp.int32, (s_chunk, s_delta), 1)).astype(jnp.bfloat16)
-    oh_lo = (lo[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (s_chunk, LANES), 1)).astype(jnp.bfloat16)
-    if ncol == 2:
-        U = jnp.concatenate(
-            [oh_lo, oh_lo * t_c[:, None].astype(jnp.bfloat16)], axis=1)
-    else:
-        t_hi = t_c.astype(jnp.bfloat16)
-        t_lo_col = (t_c - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        U = jnp.concatenate(
-            [oh_lo, oh_lo * t_hi[:, None], oh_lo * t_lo_col[:, None]],
-            axis=1)
+    U = _build_u(lo, t_c, s_chunk, ncol)
     part = jax.lax.dot_general(oh_dh, U, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     row = pl.ds(pl.multiple_of(base, V), s_delta)
     part_dst(row, part)
 
-    if n_hi is None:
-        return
-    in_grid = hi < n_hi
-    uncovered = in_grid & (dh_raw >= s_delta)
 
-    @pl.when(jnp.any(uncovered))
-    def _():
-        base2 = _band2_base(hi, V, s_delta, max_base, n_hi)
-        dh2_raw = hi - base2
-        # exclude events band 1 already took (and anything out of band 2)
-        dh2 = jnp.where((dh_raw >= 0) & (dh_raw < s_delta), s_delta,
-                        jnp.clip(dh2_raw, -1, s_delta))
-        dh2 = jnp.where(dh2_raw < 0, s_delta, dh2)
-        oh2 = (dh2[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (s_chunk, s_delta), 1)).astype(jnp.bfloat16)
-        part2 = jax.lax.dot_general(oh2, U, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        row2 = pl.ds(pl.multiple_of(base2, V), s_delta)
-        part_dst(row2, part2)
+def _subband_pass(load, acc_ref, *, n_chunks, s_chunk, s_delta, ncol,
+                  max_base, n_hi):
+    """Second-level band pass over all chunks, one shared loop body.
+
+    For each sorted chunk whose events span more than Δ hi-rows (gated at
+    chunk level — dense chunks pay two 128-lane loads and a compare), every
+    128-event sub-chunk containing events the first band missed gets its
+    own band anchored at its first uncovered row. Keeps the clustered-
+    stream overflow in-kernel instead of the ~40 ms XLA serial fallback;
+    the code exists ONCE (a python-unrolled per-chunk variant made the
+    Mosaic program so large the remote compile ran for tens of minutes).
+    load(dyn_slice) → (hi, lo, t_c) decodes S_SUB events from the refs."""
+    V = s_delta // 2
+    n_sub = s_chunk // S_SUB
+
+    def chunk_body(c, _):
+        hi_first, _, _ = load(pl.ds(c * s_chunk, S_SUB))
+        hi_last, _, _ = load(pl.ds(c * s_chunk + s_chunk - S_SUB, S_SUB))
+        base1 = jnp.clip((jnp.min(hi_first) // V) * V, 0, max_base)
+        # conservative span gate: the sentinel tail (hi == n_hi) can fire
+        # it, the inner unc mask filters exactly
+        @pl.when(jnp.max(hi_last) - base1 >= s_delta)
+        def _():
+            def sub_body(j, _):
+                hi, lo, t_c = load(pl.ds(c * s_chunk + j * S_SUB, S_SUB))
+                unc = (hi < n_hi) & (hi - base1 >= s_delta)
+
+                @pl.when(jnp.any(unc))
+                def _():
+                    # anchor at the sub-chunk's first uncovered row
+                    # (sorted → every uncovered row is ≥ it)
+                    m = jnp.min(jnp.where(unc, hi, n_hi))
+                    base2 = jnp.clip((m // V) * V, 0, max_base)
+                    dh2 = jnp.where(unc,
+                                    jnp.clip(hi - base2, 0, s_delta),
+                                    s_delta)
+                    oh2 = (dh2[:, None] == jax.lax.broadcasted_iota(
+                        jnp.int32, (S_SUB, s_delta), 1)).astype(jnp.bfloat16)
+                    U = _build_u(lo, t_c, S_SUB, ncol)
+                    part2 = jax.lax.dot_general(
+                        oh2, U, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    row2 = pl.ds(pl.multiple_of(base2, V), s_delta)
+                    acc_ref[row2, :] = acc_ref[row2, :] + part2
+                return 0
+
+            jax.lax.fori_loop(0, n_sub, sub_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
 def _packed_kernel(key_ref, out_ref, acc_ref, *, n_iters, s_chunk, s_delta,
@@ -222,13 +261,16 @@ def _packed_kernel(key_ref, out_ref, acc_ref, *, n_iters, s_chunk, s_delta,
     out_ref[:] = jnp.zeros_like(out_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def one(c, use_out):
-        sl = pl.ds(c * s_chunk, s_chunk)
+    def decode(sl):
         key_c = key_ref[0, 0, sl]
         idx_c = key_c // tq
         t_c = (key_c - idx_c * tq).astype(jnp.float32) * (1.0 / (tq - 1)) - 1.0
         hi = idx_c // LANES
         lo = idx_c - hi * LANES
+        return hi, lo, t_c
+
+    def one(c, use_out):
+        hi, lo, t_c = decode(pl.ds(c * s_chunk, s_chunk))
 
         def dst(row, part):
             if use_out:
@@ -237,7 +279,7 @@ def _packed_kernel(key_ref, out_ref, acc_ref, *, n_iters, s_chunk, s_delta,
                 acc_ref[row, :] = acc_ref[row, :] + part
 
         _banded_body(hi, lo, t_c, dst, s_chunk=s_chunk, s_delta=s_delta,
-                     ncol=2, max_base=max_base, n_hi=None)
+                     ncol=2, max_base=max_base)
 
     def body(i, _):
         one(2 * i, True)
@@ -245,6 +287,8 @@ def _packed_kernel(key_ref, out_ref, acc_ref, *, n_iters, s_chunk, s_delta,
         return 0
 
     jax.lax.fori_loop(0, n_iters, body, 0)
+    _subband_pass(decode, acc_ref, n_chunks=2 * n_iters, s_chunk=s_chunk,
+                  s_delta=s_delta, ncol=2, max_base=max_base, n_hi=n_hi)
     out_ref[0] = out_ref[0] + acc_ref[:]
 
 
@@ -254,12 +298,15 @@ def _pair_kernel(idx_ref, t_ref, out_ref, acc_ref, *, n_iters, s_chunk,
     out_ref[:] = jnp.zeros_like(out_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def one(c, use_out):
-        sl = pl.ds(c * s_chunk, s_chunk)
+    def decode(sl):
         idx_c = idx_ref[0, 0, sl]
         t_c = t_ref[0, 0, sl]
         hi = idx_c // LANES
         lo = idx_c - hi * LANES
+        return hi, lo, t_c
+
+    def one(c, use_out):
+        hi, lo, t_c = decode(pl.ds(c * s_chunk, s_chunk))
 
         def dst(row, part):
             if use_out:
@@ -268,7 +315,7 @@ def _pair_kernel(idx_ref, t_ref, out_ref, acc_ref, *, n_iters, s_chunk,
                 acc_ref[row, :] = acc_ref[row, :] + part
 
         _banded_body(hi, lo, t_c, dst, s_chunk=s_chunk, s_delta=s_delta,
-                     ncol=ncol, max_base=max_base, n_hi=None)
+                     ncol=ncol, max_base=max_base)
 
     def body(i, _):
         one(2 * i, True)
@@ -276,6 +323,8 @@ def _pair_kernel(idx_ref, t_ref, out_ref, acc_ref, *, n_iters, s_chunk,
         return 0
 
     jax.lax.fori_loop(0, n_iters, body, 0)
+    _subband_pass(decode, acc_ref, n_chunks=2 * n_iters, s_chunk=s_chunk,
+                  s_delta=s_delta, ncol=ncol, max_base=max_base, n_hi=n_hi)
     out_ref[0] = out_ref[0] + acc_ref[:]
 
 
@@ -329,7 +378,7 @@ def scatter_cnt_tsum_pallas_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
         key_s = jax.lax.sort(idx * tq + tqv, dimension=1)
         idx_s = key_s // tq
         t_s = (key_s - idx_s * tq).astype(jnp.float32) / (tq - 1) - 1.0
-        out = pl.pallas_call(
+        out = _pallas_call(
             partial(_packed_kernel, n_iters=n_chunks // 2, s_chunk=s_chunk,
                     s_delta=s_delta, tq=tq, max_base=max_base, n_hi=n_hi),
             grid=(B,),
@@ -341,7 +390,7 @@ def scatter_cnt_tsum_pallas_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
         )(key_s.reshape(B, 1, E_pad))
     else:
         idx_s, t_s = jax.lax.sort((idx, tvals), num_keys=1, dimension=1)
-        out = pl.pallas_call(
+        out = _pallas_call(
             partial(_pair_kernel, n_iters=n_chunks // 2, s_chunk=s_chunk,
                     s_delta=s_delta, ncol=ncol, max_base=max_base,
                     n_hi=n_hi),
@@ -353,15 +402,23 @@ def scatter_cnt_tsum_pallas_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
             compiler_params=vmem_cap,
         )(idx_s.reshape(B, 1, E_pad), t_s.reshape(B, 1, E_pad))
 
-    # overflow fallback: events neither the start- nor the end-anchored
-    # band of their sorted chunk covered (must mirror _banded_body exactly)
+    # overflow fallback: events neither the chunk band nor the per-sub-chunk
+    # second-level band covered (must mirror _banded_body exactly)
     hi_s = idx_s // LANES
     hic = hi_s.reshape(B, n_chunks, s_chunk)
     base = jnp.clip((hic[:, :, 0] // V) * V, 0, max_base)
     dh = hic - base[:, :, None]
     in_grid = hic < n_hi
     cov1 = (dh >= 0) & (dh < s_delta)
-    overflow = (in_grid & ~cov1).reshape(B, E_pad)
+    unc1 = in_grid & ~cov1
+    # level 2: per S_SUB sub-chunk, band anchored at its first uncovered row
+    n_sub = s_chunk // S_SUB
+    hisub = hic.reshape(B, n_chunks, n_sub, S_SUB)
+    uncs = unc1.reshape(B, n_chunks, n_sub, S_SUB)
+    m = jnp.min(jnp.where(uncs, hisub, n_hi), axis=3)
+    base2 = jnp.clip((m // V) * V, 0, max_base)
+    cov2 = uncs & (hisub - base2[..., None] < s_delta)
+    overflow = (uncs & ~cov2).reshape(B, E_pad)
 
     def cols_of(t):
         if precise:

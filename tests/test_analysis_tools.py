@@ -98,6 +98,7 @@ def merged_raw(mini, tmp_path_factory):
     return str(merged)
 
 
+@pytest.mark.slow
 def test_motion_level_chain(mini, flow_dir, merged_raw, tmp_path_factory):
     """gt stats → recorded detections → dt stats → stratified mAP."""
     work = tmp_path_factory.mktemp("motion")
@@ -193,6 +194,7 @@ def test_visualization_smoke(mini, flow_dir, tmp_path):
     assert img is not None and img.shape == (*SENSOR_HW, 3)
 
 
+@pytest.mark.slow
 def test_stream_infer_on_fixture_dat(mini, tmp_path):
     """Streaming encode→detect CLI over a fixture .dat (random init)."""
     out = tmp_path / "dets.npz"

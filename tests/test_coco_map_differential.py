@@ -242,6 +242,7 @@ def test_native_matches_python_fallback(rng):
     np.testing.assert_array_equal(npig_nat, npig_py)
 
 
+@pytest.mark.slow
 def test_large_scale_eval_speed():
     """50k windows must evaluate in well under a minute (VERDICT r1 #4:
     per-epoch validation must not dominate the training loop)."""

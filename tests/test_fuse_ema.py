@@ -1,6 +1,7 @@
 """Conv+BN fusion and EMA tests."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,7 @@ from frlw_evd_tpu.models.fuse import fuse_conv_bn_params
 from frlw_evd_tpu.train.ema import ema_init, ema_update
 
 
+@pytest.mark.slow
 def test_fuse_preserves_forward(rng):
     model = build_detector(2, family="aed", stem="focus",
                            in_channels=(16, 16, 16), stem_out_channels=8,

@@ -4,6 +4,8 @@ step + eval, and seq-NMS linking inside eval_epoch."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -125,6 +125,7 @@ def test_loss_finite_and_decreasing_on_perfect_pred(small_model):
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow
 def test_loss_gradients_flow(small_model):
     model, variables, apply_fn = small_model
     labels = np.zeros((1, 80, 5), np.float32)

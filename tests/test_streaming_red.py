@@ -318,6 +318,7 @@ def test_hard_negative_mining():
                                   [True, True, True, True, False, False])
 
 
+@pytest.mark.slow
 def test_red_forward_and_loss(rng):
     model = REDDetector(2)
     h, w = 128, 128

@@ -45,6 +45,7 @@ def test_window_attention_shapes(rng):
     assert y.shape == x.shape
 
 
+@pytest.mark.slow
 def test_swin_block_with_shift(rng):
     blk = SwinBlock3D(dim=16, num_heads=2, window_size=(2, 4, 4),
                       shift_size=(0, 2, 2))
@@ -77,6 +78,7 @@ def test_basic_layer_time_downsample(rng):
     assert y.shape == (1, 2, 8, 8, 32)
 
 
+@pytest.mark.slow
 def test_taf_swin_stem(rng):
     stem = TemporalActiveFocusSwin(out_channels=32)
     x = jnp.asarray(rng.uniform(0, 1, (1, 32, 48, 16)).astype(np.float32))

@@ -10,6 +10,8 @@ FRLW-EvD .pth checkpoints reproduce their mAP.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 import torch.nn as tnn
 

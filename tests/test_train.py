@@ -60,6 +60,7 @@ def test_schedule_matches_reference_law():
     assert float(sched(100)) == pytest.approx(0.01, rel=1e-3)
 
 
+@pytest.mark.slow
 def test_train_one_epoch_and_eval(mini, tmp_path):
     t = tiny_trainer(mini, log_path=str(tmp_path))
     t.create_datasets()
@@ -76,6 +77,7 @@ def test_train_one_epoch_and_eval(mini, tmp_path):
     assert np.isfinite(stats[0])
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(mini, tmp_path):
     t = tiny_trainer(mini, log_path=str(tmp_path))
     t.create_datasets()
@@ -89,6 +91,7 @@ def test_checkpoint_roundtrip(mini, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches(mini, tmp_path):
     """remat=True must change memory behavior only — losses and the updated
     params equal the non-remat step bitwise-closely."""
@@ -117,6 +120,7 @@ def test_remat_train_step_matches(mini, tmp_path):
                  outs[False][0], outs[True][0])
 
 
+@pytest.mark.slow
 def test_trainer_ema(mini, tmp_path):
     """use_ema keeps an EMA shadow updated per step, evaluates with it and
     writes best_epoch from it (ModelEMA semantics the reference ships but
@@ -135,6 +139,7 @@ def test_trainer_ema(mini, tmp_path):
     assert 0 < max(jax.tree.leaves(d)) < 1.0
 
 
+@pytest.mark.slow
 def test_checkpoint_crash_safety(mini, tmp_path):
     """Async saves commit to versioned dirs; meta.json is published only once
     the data is durable, always points at an existing dir, and stale versions
@@ -168,6 +173,7 @@ def test_checkpoint_crash_safety(mini, tmp_path):
     assert epoch == 3 and score == 0.2
 
 
+@pytest.mark.slow
 def test_sharded_train_step_on_8_devices(mini, tmp_path):
     """The jitted train step under a real 8-device data mesh."""
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"

@@ -93,6 +93,7 @@ def test_schedules():
     assert float(ms(11)) == pytest.approx(0.01, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_part_checkpoint_and_freeze(tmp_path):
     model = build_detector(2, in_channels=(16, 16, 16), stem_out_channels=8,
                            head_width=16)
@@ -127,6 +128,7 @@ def test_visualizer(tmp_path, rng):
     assert os.path.exists(out2)
 
 
+@pytest.mark.slow
 def test_mobilenet_forward(rng):
     from frlw_evd_tpu.models.mobilenet import MBV2CA
 
