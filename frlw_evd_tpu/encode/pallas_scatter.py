@@ -11,9 +11,11 @@ Two generations:
   sorted formulation (mxu_scatter.scatter_cnt_tsum_sorted) materialises
   ~6 GB/window of one-hots through HBM at 1MEGAPIXEL scale, which is where
   its time goes. Events whose sorted chunk spans more than Δ hi-rows are
-  re-banded in-kernel per 128-event sub-chunk (pl.when-gated second-level
-  band); the rare events both levels miss fall back to one XLA scatter
-  pass, guarded by lax.cond (same scheme as the XLA sorted path).
+  re-banded in-kernel per 128-event sub-chunk and per 32-event group
+  (second/third band levels, gated by XLA-precomputed SMEM bitmask flags so
+  dense chunks pay one scalar read); the rare events all three levels miss
+  fall back to one XLA scatter pass, guarded by lax.cond (same scheme as
+  the XLA sorted path).
 
 Reference behavior being accelerated: the index_add_ event histogram inside
 generate_taf.py:23-27 / data/sparse_ops.py:80-85.
@@ -164,6 +166,7 @@ def _choose_tq(n_rows: int) -> int:
 
 
 S_SUB = 128           # sub-chunk granularity of the second-level band
+S_SUB3 = 32           # group granularity of the third-level band
 
 
 def _build_u(lo, t_c, n, ncol):
@@ -173,10 +176,12 @@ def _build_u(lo, t_c, n, ncol):
     if ncol == 2:
         return jnp.concatenate(
             [oh_lo, oh_lo * t_c[:, None].astype(jnp.bfloat16)], axis=1)
-    t_hi = t_c.astype(jnp.bfloat16)
-    t_lo_col = (t_c - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate(
-        [oh_lo, oh_lo * t_hi[:, None], oh_lo * t_lo_col[:, None]], axis=1)
+    # minor-dim insertion must happen in f32 (Mosaic rejects the 1-D bf16
+    # [:, None] reshape); round to bf16 after the 2-D broadcast
+    t2 = t_c[:, None]
+    t_hi = t2.astype(jnp.bfloat16)
+    t_lo_col = (t2 - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([oh_lo, oh_lo * t_hi, oh_lo * t_lo_col], axis=1)
 
 
 def _banded_body(hi, lo, t_c, part_dst, *, s_chunk, s_delta, ncol, max_base):
@@ -201,60 +206,87 @@ def _banded_body(hi, lo, t_c, part_dst, *, s_chunk, s_delta, ncol, max_base):
     part_dst(row, part)
 
 
-def _subband_pass(load, acc_ref, *, n_chunks, s_chunk, s_delta, ncol,
-                  max_base, n_hi):
-    """Second-level band pass over all chunks, one shared loop body.
+def _subband_pass(load, acc_ref, anyf_ref, f2_ref, f3_ref, *, n_chunks,
+                  s_chunk, s_delta, ncol, max_base, n_hi):
+    """Flag-gated second/third-level band pass (the clustered-stream path).
 
-    For each sorted chunk whose events span more than Δ hi-rows (gated at
-    chunk level — dense chunks pay two 128-lane loads and a compare), every
-    128-event sub-chunk containing events the first band missed gets its
-    own band anchored at its first uncovered row. Keeps the clustered-
-    stream overflow in-kernel instead of the ~40 ms XLA serial fallback;
-    the code exists ONCE (a python-unrolled per-chunk variant made the
-    Mosaic program so large the remote compile ran for tens of minutes).
-    load(dyn_slice) → (hi, lo, t_c) decodes S_SUB events from the refs."""
+    Sparse regions of clustered streams break the one-band-per-chunk
+    assumption; the events band 1 misses get per-128-event sub-chunk bands
+    (level 2) and, within those, per-32-event bands (level 3), each
+    anchored at its first still-uncovered row. WHICH sub-chunks fire is
+    precomputed on the XLA side (vectorised, ~free) and shipped in as SMEM
+    bitmasks, so the kernel pays one scalar read per chunk — an in-kernel
+    span gate cost ~13 ms at gen4 batch 128 (64 chunks x 2 vector loads x
+    128 sequential grid steps), and a python-unrolled variant made the
+    Mosaic program so large the remote compile ran for tens of minutes.
+    Level 3 drives the residual to zero for any window with >= ~0.13
+    in-grid events per hi-row; only emptier streams reach the caller's
+    serial fallback. load(dyn_slice) → (hi, lo, t_c) decodes events from
+    the refs."""
     V = s_delta // 2
     n_sub = s_chunk // S_SUB
+    n_s3 = S_SUB // S_SUB3
 
-    def chunk_body(c, _):
-        hi_first, _, _ = load(pl.ds(c * s_chunk, S_SUB))
-        hi_last, _, _ = load(pl.ds(c * s_chunk + s_chunk - S_SUB, S_SUB))
-        base1 = jnp.clip((jnp.min(hi_first) // V) * V, 0, max_base)
-        # conservative span gate: the sentinel tail (hi == n_hi) can fire
-        # it, the inner unc mask filters exactly
-        @pl.when(jnp.max(hi_last) - base1 >= s_delta)
-        def _():
-            def sub_body(j, _):
-                hi, lo, t_c = load(pl.ds(c * s_chunk + j * S_SUB, S_SUB))
-                unc = (hi < n_hi) & (hi - base1 >= s_delta)
+    def band_dot(hi_v, lo_v, t_v, unc_v, n, base):
+        dh = jnp.where(unc_v, jnp.clip(hi_v - base, 0, s_delta), s_delta)
+        oh = (dh[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (n, s_delta), 1)).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            oh, _build_u(lo_v, t_v, n, ncol), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        row = pl.ds(pl.multiple_of(base, V), s_delta)
+        acc_ref[row, :] = acc_ref[row, :] + part
 
-                @pl.when(jnp.any(unc))
-                def _():
-                    # anchor at the sub-chunk's first uncovered row
-                    # (sorted → every uncovered row is ≥ it)
-                    m = jnp.min(jnp.where(unc, hi, n_hi))
-                    base2 = jnp.clip((m // V) * V, 0, max_base)
-                    dh2 = jnp.where(unc,
-                                    jnp.clip(hi - base2, 0, s_delta),
-                                    s_delta)
-                    oh2 = (dh2[:, None] == jax.lax.broadcasted_iota(
-                        jnp.int32, (S_SUB, s_delta), 1)).astype(jnp.bfloat16)
-                    U = _build_u(lo, t_c, S_SUB, ncol)
-                    part2 = jax.lax.dot_general(
-                        oh2, U, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    row2 = pl.ds(pl.multiple_of(base2, V), s_delta)
-                    acc_ref[row2, :] = acc_ref[row2, :] + part2
-                return 0
+    @pl.when(anyf_ref[0, 0, 0] != 0)
+    def _():
+        def chunk_body(c, _):
+            f2 = f2_ref[0, 0, c]
 
-            jax.lax.fori_loop(0, n_sub, sub_body, 0)
-        return 0
+            @pl.when(f2 != 0)
+            def _():
+                hi0, _, _ = load(pl.ds(c * s_chunk, S_SUB))
+                base1 = jnp.clip((jnp.min(hi0) // V) * V, 0, max_base)
+                f3 = f3_ref[0, 0, c]
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+                def sub_body(j, _):
+                    @pl.when(((f2 >> j) & 1) != 0)
+                    def _():
+                        hi, lo, t_c = load(
+                            pl.ds(c * s_chunk + j * S_SUB, S_SUB))
+                        unc = (hi < n_hi) & (hi - base1 >= s_delta)
+                        # anchor at the first uncovered row (sorted →
+                        # every uncovered row is ≥ it)
+                        m = jnp.min(jnp.where(unc, hi, n_hi))
+                        base2 = jnp.clip((m // V) * V, 0, max_base)
+                        band_dot(hi, lo, t_c, unc, S_SUB, base2)
+
+                        f3j = (f3 >> (j * n_s3)) & (2 ** n_s3 - 1)
+
+                        @pl.when(f3j != 0)
+                        def _():
+                            for j3 in range(n_s3):
+                                @pl.when(((f3j >> j3) & 1) != 0)
+                                def _():
+                                    sl3 = slice(j3 * S_SUB3,
+                                                (j3 + 1) * S_SUB3)
+                                    hi3, unc_p = hi[sl3], unc[sl3]
+                                    unc3 = unc_p & (hi3 - base2 >= s_delta)
+                                    m3 = jnp.min(
+                                        jnp.where(unc3, hi3, n_hi))
+                                    base3 = jnp.clip((m3 // V) * V, 0,
+                                                     max_base)
+                                    band_dot(hi3, lo[sl3], t_c[sl3],
+                                             unc3, S_SUB3, base3)
+                    return 0
+
+                jax.lax.fori_loop(0, n_sub, sub_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
-def _packed_kernel(key_ref, out_ref, acc_ref, *, n_iters, s_chunk, s_delta,
-                   tq, max_base, n_hi):
+def _packed_kernel(key_ref, anyf_ref, f2_ref, f3_ref, out_ref, acc_ref, *,
+                   n_iters, s_chunk, s_delta, tq, max_base, n_hi):
     """Packed-key variant: key = idx*tq + t_quantised, decoded in-register.
     Even/odd sub-chunks alternate between out_ref and acc_ref so consecutive
     band read-modify-writes do not serialise on one buffer."""
@@ -287,13 +319,14 @@ def _packed_kernel(key_ref, out_ref, acc_ref, *, n_iters, s_chunk, s_delta,
         return 0
 
     jax.lax.fori_loop(0, n_iters, body, 0)
-    _subband_pass(decode, acc_ref, n_chunks=2 * n_iters, s_chunk=s_chunk,
+    _subband_pass(decode, acc_ref, anyf_ref, f2_ref, f3_ref,
+                  n_chunks=2 * n_iters, s_chunk=s_chunk,
                   s_delta=s_delta, ncol=2, max_base=max_base, n_hi=n_hi)
     out_ref[0] = out_ref[0] + acc_ref[:]
 
 
-def _pair_kernel(idx_ref, t_ref, out_ref, acc_ref, *, n_iters, s_chunk,
-                 s_delta, ncol, max_base, n_hi):
+def _pair_kernel(idx_ref, t_ref, anyf_ref, f2_ref, f3_ref, out_ref, acc_ref,
+                 *, n_iters, s_chunk, s_delta, ncol, max_base, n_hi):
     """Pair-input variant (exact t): used for precise=True."""
     out_ref[:] = jnp.zeros_like(out_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -323,9 +356,54 @@ def _pair_kernel(idx_ref, t_ref, out_ref, acc_ref, *, n_iters, s_chunk,
         return 0
 
     jax.lax.fori_loop(0, n_iters, body, 0)
-    _subband_pass(decode, acc_ref, n_chunks=2 * n_iters, s_chunk=s_chunk,
+    _subband_pass(decode, acc_ref, anyf_ref, f2_ref, f3_ref,
+                  n_chunks=2 * n_iters, s_chunk=s_chunk,
                   s_delta=s_delta, ncol=ncol, max_base=max_base, n_hi=n_hi)
     out_ref[0] = out_ref[0] + acc_ref[:]
+
+
+def _host_bands(idx_s, n_chunks, s_chunk, s_delta, n_hi, max_base):
+    """XLA-side replica of the kernel's three band levels.
+
+    Returns the SMEM gating flags (anyf (B,1,1); f2/f3 (B,1,n_chunks) int32
+    bitmasks of which level-2 sub-chunks / level-3 groups fire) plus the
+    residual-overflow mask for the serial fallback. Must mirror
+    _banded_body/_subband_pass exactly — an event the host thinks is
+    covered but the kernel drops would be silently lost, and vice versa
+    double-counted."""
+    B, E_pad = idx_s.shape
+    V = s_delta // 2
+    n_sub = s_chunk // S_SUB
+    n_s3 = S_SUB // S_SUB3
+    hic = (idx_s // LANES).reshape(B, n_chunks, s_chunk)
+    base = jnp.clip((hic[:, :, 0] // V) * V, 0, max_base)
+    dh = hic - base[:, :, None]
+    in_grid = hic < n_hi
+    unc1 = in_grid & ~((dh >= 0) & (dh < s_delta))
+    # level 2: per S_SUB sub-chunk, band anchored at its first uncovered row
+    hisub = hic.reshape(B, n_chunks, n_sub, S_SUB)
+    uncs = unc1.reshape(B, n_chunks, n_sub, S_SUB)
+    m = jnp.min(jnp.where(uncs, hisub, n_hi), axis=3)
+    base2 = jnp.clip((m // V) * V, 0, max_base)
+    unc2 = uncs & ~(hisub - base2[..., None] < s_delta)
+    # level 3: per S_SUB3 group within still-uncovered sub-chunks
+    hi3 = hisub.reshape(B, n_chunks, n_sub, n_s3, S_SUB3)
+    unc3 = unc2.reshape(B, n_chunks, n_sub, n_s3, S_SUB3)
+    m3 = jnp.min(jnp.where(unc3, hi3, n_hi), axis=4)
+    base3 = jnp.clip((m3 // V) * V, 0, max_base)
+    overflow = (unc3 & ~(hi3 - base3[..., None] < s_delta)
+                ).reshape(B, E_pad)
+    f2_bits = jnp.any(uncs, axis=3)
+    f2 = jnp.sum(f2_bits.astype(jnp.int32)
+                 << jnp.arange(n_sub, dtype=jnp.int32),
+                 axis=2, dtype=jnp.int32)
+    f3_bits = jnp.any(unc3, axis=4).reshape(B, n_chunks, n_sub * n_s3)
+    f3 = jnp.sum(f3_bits.astype(jnp.int32)
+                 << jnp.arange(n_sub * n_s3, dtype=jnp.int32),
+                 axis=2, dtype=jnp.int32)
+    anyf = jnp.any(f2_bits, axis=(1, 2)).astype(jnp.int32)
+    return (anyf.reshape(B, 1, 1), f2.reshape(B, 1, n_chunks),
+            f3.reshape(B, 1, n_chunks), overflow)
 
 
 @partial(jax.jit, static_argnames=("size", "precise", "s_chunk", "s_delta",
@@ -372,53 +450,47 @@ def scatter_cnt_tsum_pallas_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
     out_shape = jax.ShapeDtypeStruct((B, R, ncol * LANES), jnp.float32)
     scratch = [pltpu.VMEM((R, ncol * LANES), jnp.float32)]
 
+    smem1 = pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM)
+    smemc = pl.BlockSpec((1, 1, n_chunks), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM)
+
     if use_packed:
         tqv = jnp.clip(jnp.round((tvals + 1.0) * (tq - 1)), 0,
                        tq - 1).astype(jnp.int32)
         key_s = jax.lax.sort(idx * tq + tqv, dimension=1)
         idx_s = key_s // tq
         t_s = (key_s - idx_s * tq).astype(jnp.float32) / (tq - 1) - 1.0
+    else:
+        idx_s, t_s = jax.lax.sort((idx, tvals), num_keys=1, dimension=1)
+
+    anyf, f2, f3, overflow = _host_bands(idx_s, n_chunks, s_chunk, s_delta,
+                                         n_hi, max_base)
+
+    if use_packed:
         out = _pallas_call(
             partial(_packed_kernel, n_iters=n_chunks // 2, s_chunk=s_chunk,
                     s_delta=s_delta, tq=tq, max_base=max_base, n_hi=n_hi),
             grid=(B,),
-            in_specs=[spec_e],
+            in_specs=[spec_e, smem1, smemc, smemc],
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=vmem_cap,
-        )(key_s.reshape(B, 1, E_pad))
+        )(key_s.reshape(B, 1, E_pad), anyf, f2, f3)
     else:
-        idx_s, t_s = jax.lax.sort((idx, tvals), num_keys=1, dimension=1)
         out = _pallas_call(
             partial(_pair_kernel, n_iters=n_chunks // 2, s_chunk=s_chunk,
                     s_delta=s_delta, ncol=ncol, max_base=max_base,
                     n_hi=n_hi),
             grid=(B,),
-            in_specs=[spec_e, spec_e],
+            in_specs=[spec_e, spec_e, smem1, smemc, smemc],
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=vmem_cap,
-        )(idx_s.reshape(B, 1, E_pad), t_s.reshape(B, 1, E_pad))
-
-    # overflow fallback: events neither the chunk band nor the per-sub-chunk
-    # second-level band covered (must mirror _banded_body exactly)
-    hi_s = idx_s // LANES
-    hic = hi_s.reshape(B, n_chunks, s_chunk)
-    base = jnp.clip((hic[:, :, 0] // V) * V, 0, max_base)
-    dh = hic - base[:, :, None]
-    in_grid = hic < n_hi
-    cov1 = (dh >= 0) & (dh < s_delta)
-    unc1 = in_grid & ~cov1
-    # level 2: per S_SUB sub-chunk, band anchored at its first uncovered row
-    n_sub = s_chunk // S_SUB
-    hisub = hic.reshape(B, n_chunks, n_sub, S_SUB)
-    uncs = unc1.reshape(B, n_chunks, n_sub, S_SUB)
-    m = jnp.min(jnp.where(uncs, hisub, n_hi), axis=3)
-    base2 = jnp.clip((m // V) * V, 0, max_base)
-    cov2 = uncs & (hisub - base2[..., None] < s_delta)
-    overflow = (uncs & ~cov2).reshape(B, E_pad)
+        )(idx_s.reshape(B, 1, E_pad), t_s.reshape(B, 1, E_pad),
+          anyf, f2, f3)
 
     def cols_of(t):
         if precise:

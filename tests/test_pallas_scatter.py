@@ -82,6 +82,57 @@ def test_pallas_sorted_banded_matches_numpy(rng, monkeypatch, dist, precise):
                                    rtol=5e-3, err_msg=f"{dist} tsum")
 
 
+def test_pallas_sorted_level3_band(rng, monkeypatch):
+    """Multi-blob clusters whose sorted sub-chunks span far more than Δ
+    hi-rows: the flag-gated third band level (32-event groups) must fire
+    (f3 != 0) and the result must still match numpy exactly."""
+    from jax.experimental import pallas as pl
+    from frlw_evd_tpu.encode import pallas_scatter
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_scatter.pl, "pallas_call", interp_call)
+
+    size = 500_000                     # ~3907 hi rows >> Δ=256
+    B, E = 2, 2048
+    centers = rng.integers(0, size, 20)
+    blob = centers[rng.integers(0, 20, (B, E))]
+    idx = np.clip(blob + rng.integers(-40, 40, (B, E)), 0,
+                  size - 1).astype(np.int32)
+    tv = rng.uniform(-1, 0, (B, E)).astype(np.float32)
+    valid = rng.random((B, E)) < 0.95
+
+    # the level-3 flags must actually fire on this pattern
+    sent = pallas_scatter.LANES * (-(-size // pallas_scatter.LANES))
+    idx_m = np.where(valid & (idx < size), idx, sent)
+    idx_s = jnp.sort(jnp.asarray(idx_m), axis=1)
+    n_hi = -(-size // pallas_scatter.LANES)
+    max_base = (n_hi // 128) * 128
+    _, f2, f3, _ = pallas_scatter._host_bands(
+        idx_s, E // 1024, 1024, 256, n_hi, max_base)
+    assert int(jnp.sum(f2 != 0)) > 0 and int(jnp.sum(f3 != 0)) > 0
+
+    for precise in (True, False):
+        cnt, tsum = pallas_scatter.scatter_cnt_tsum_pallas_sorted(
+            jnp.asarray(idx), jnp.asarray(tv), jnp.asarray(valid), size,
+            precise)
+        for b in range(B):
+            cref = np.zeros(size)
+            np.add.at(cref, idx[b][valid[b]], 1.0)
+            tref = np.zeros(size)
+            np.add.at(tref, idx[b][valid[b]], tv[b][valid[b]])
+            np.testing.assert_allclose(np.asarray(cnt[b]), cref, atol=1e-6,
+                                       err_msg=f"precise={precise} cnt")
+            atol = 1e-3 if precise else 2e-2
+            np.testing.assert_allclose(np.asarray(tsum[b]), tref, atol=atol,
+                                       rtol=5e-3,
+                                       err_msg=f"precise={precise} tsum")
+
+
 def test_taf_update_kernel_matches_packed(rng, monkeypatch):
     """taf_stream_step_kernel (fused Pallas update+leaky) == the packed
     reference path, on the folded state."""

@@ -231,6 +231,44 @@ def test_generate_taf_matches_reference_script(monkeypatch, tmp_path,
 
 
 # ---------------------------------------------------------------------------
+# Event Volume / Event Count Image / SAE
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("script,tool,sub", [
+    ("generate_eventvolume.py", "generate_eventvolume", "EventVolume"),
+    ("generate_eventcountimage.py", "generate_eventcountimage",
+     "EventCountImage"),
+    ("generate_surfaceofactiveevents.py", "generate_surfaceofactiveevents",
+     "SurfaceOfActiveEvents"),
+])
+def test_other_generators_match_reference_scripts(monkeypatch, tmp_path,
+                                                  script, tool, sub):
+    """Same differential for the other three offline generators — fixed
+    Δτ windows (EV), count-bounded windows (ECI), and the SAE λ-memory
+    chain incl. its test-split triple-update idiosyncrasy."""
+    raw_dir, label_dir = build_real_geometry_tree(str(tmp_path / "data"))
+    ref_out = str(tmp_path / "ref_out")
+    our_out = str(tmp_path / "our_out")
+
+    run_reference_script(
+        monkeypatch, tmp_path, script,
+        ["-raw_dir", raw_dir, "-label_dir", label_dir,
+         "-target_dir", ref_out, "-dataset", "gen1"])
+    run_our_tool(
+        monkeypatch, tool,
+        ["-raw_dir", raw_dir, "-label_dir", label_dir,
+         "-target_dir", our_out, "-dataset", "gen1"])
+
+    subdirs = sorted(d for d in os.listdir(ref_out) if d.startswith(sub))
+    assert subdirs, os.listdir(ref_out)
+    ours = sorted(d for d in os.listdir(our_out) if d.startswith(sub))
+    assert subdirs == ours
+    for d in subdirs:
+        compare_blob_trees(os.path.join(ref_out, d),
+                           os.path.join(our_out, d), GEN1_HW)
+
+
+# ---------------------------------------------------------------------------
 # sampling_dataset
 # ---------------------------------------------------------------------------
 

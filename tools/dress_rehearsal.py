@@ -94,10 +94,46 @@ def encode_stream_taf(event_path, ann_times, sensor_hw, target_hw, bin_us, K):
         yield t_ann, np.concatenate([b_new, b_old], axis=0)
 
 
+def iter_blob_windows(blob_root, split, stream, ann_times, K, target_hw):
+    """Read precomputed TAF blobs in the reference's on-disk layout
+    (target_dir/taf/<split>/bins{K/2}|bins{K}/<stream>_<t>.npy raw uint8,
+    reference data/dataset.py:294-307 / generate_taf.py:231-235). Yields
+    (t_ann, (2K, Ht, Wt) uint8) — drop-in for encode_stream_taf the moment
+    a dataset + blob archive appears."""
+    h, w = target_hw
+    half = K // 2
+    for t_ann in ann_times:
+        p_new = os.path.join(blob_root, split, f"bins{half}",
+                             f"{stream}_{t_ann}.npy")
+        p_old = os.path.join(blob_root, split, f"bins{K}",
+                             f"{stream}_{t_ann}.npy")
+        if not (os.path.exists(p_new) and os.path.exists(p_old)):
+            continue
+        b_new = np.fromfile(p_new, np.uint8).reshape(half * 2, h, w)
+        b_old = np.fromfile(p_old, np.uint8).reshape((K - half) * 2, h, w)
+        yield t_ann, np.concatenate([b_new, b_old], axis=0)
+
+
+def iter_label_streams(label_dir, split):
+    """Stream enumeration from labels only (blob mode needs no raw events)."""
+    root = os.path.join(label_dir, split)
+    if not os.path.isdir(root):
+        return
+    for f in sorted(os.listdir(root)):
+        if f.endswith("_bbox.npy"):
+            name = f[:-len("_bbox.npy")]
+            yield name, None, os.path.join(root, f)
+
+
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("-raw_dir", required=True)
+    parser.add_argument("-raw_dir", default=None,
+                        help="raw .dat tree (omit with -blob_dir)")
     parser.add_argument("-label_dir", required=True)
+    parser.add_argument("-blob_dir", default=None,
+                        help="precomputed TAF blob tree in the reference "
+                             "layout (<dir>/<split>/bins4,bins8/...); skips "
+                             "the encode stage")
     parser.add_argument("-dataset", default="gen1", choices=("gen1", "gen4"))
     parser.add_argument("-checkpoint", default=None,
                         help=".pth (torch import) or Orbax checkpoint dir")
@@ -180,10 +216,15 @@ def main():
                                   "kitti": _bf.filter_boxes_kitti
                                   }[args.eval_filter]
 
+    if args.raw_dir is None and args.blob_dir is None:
+        parser.error("need -raw_dir (encode) or -blob_dir (precomputed)")
+
     n_streams = 0
     n_windows = 0
-    for stream, event_path, bbox_path in iter_streams(
-            args.raw_dir, args.label_dir, args.split):
+    streams = (iter_label_streams(args.label_dir, args.split)
+               if args.blob_dir else
+               iter_streams(args.raw_dir, args.label_dir, args.split))
+    for stream, event_path, bbox_path in streams:
         if args.max_streams and n_streams >= args.max_streams:
             break
         n_streams += 1
@@ -191,9 +232,12 @@ def main():
         ann_times = np.unique(boxes["t"])
         rh = input_hw[0] / sensor_hw[0]
         rw = input_hw[1] / sensor_hw[1]
-        for t_ann, blob in encode_stream_taf(
-                event_path, ann_times, sensor_hw, input_hw,
-                args.infer_time, K):
+        windows = (iter_blob_windows(args.blob_dir, args.split, stream,
+                                     ann_times, K, input_hw)
+                   if args.blob_dir else
+                   encode_stream_taf(event_path, ann_times, sensor_hw,
+                                     input_hw, args.infer_time, K))
+        for t_ann, blob in windows:
             vol = jnp.asarray(blob.astype(np.float32) / 255.0
                               ).transpose(1, 2, 0)[None]
             t0 = time.time()
