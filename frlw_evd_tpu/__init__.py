@@ -19,3 +19,18 @@ Layering (bottom → top), mirroring SURVEY.md §7:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+_envp = _os.environ.get("JAX_PLATFORMS")
+if _envp:
+    # Some PJRT plugin loaders (e.g. the axon TPU plugin's sitecustomize)
+    # prepend their platform to jax.config.jax_platforms at interpreter
+    # start, silently overriding the documented JAX_PLATFORMS env contract
+    # ("cpu" becomes "axon,cpu" and subprocesses land on the TPU). Restore
+    # the env's explicit choice before any backend initialises.
+    import jax as _jax
+
+    if _jax.config.jax_platforms != _envp:
+        _jax.config.update("jax_platforms", _envp)
+del _os
