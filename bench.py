@@ -331,7 +331,7 @@ def overflow_rate(ev, n_valid, sensor_hw, p64, s_chunk=1024, s_delta=256,
     return over / max(total, 1)
 
 
-def run_train_bench(cfg, batch, events_kind):
+def run_train_bench(cfg, batch, events_kind, remat=False):
     """Jitted production SimOTA train step at production batch: ms/step,
     windows/s and MFU (XLA cost-analysis FLOPs over the v5e bf16 peak)."""
     import optax
@@ -345,7 +345,8 @@ def run_train_bench(cfg, batch, events_kind):
     tx = optax.adam(1e-3)
     state = create_train_state(model, jax.random.key(0),
                                jnp.zeros((1, h, w, 2 * K), jnp.float32), tx)
-    step = make_train_step((8, 16, 32), nc, 2.5, half_precision=True)
+    step = make_train_step((8, 16, 32), nc, 2.5, half_precision=True,
+                           remat=remat)
 
     rng = np.random.default_rng(0)
     n_lab = 40
@@ -409,6 +410,10 @@ def main():
                         choices=("uniform", "skewed"),
                         help="synthetic event statistics: uniform, or "
                              "clustered+bursty automotive-like (VERDICT #6)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialise the forward in the backward "
+                             "(jax.checkpoint): fits larger train batches "
+                             "in the 16 GB HBM at ~1 extra forward of cost")
     parser.add_argument("--profile", action="store_true",
                         help="also print a per-stage breakdown (split "
                              "pipeline only) to stderr")
@@ -416,7 +421,7 @@ def main():
     cfg = CONFIGS[args.config]
     if cfg.get("train"):
         batch = args.batch or cfg["batch"]
-        wps = run_train_bench(cfg, batch, args.events)
+        wps = run_train_bench(cfg, batch, args.events, remat=args.remat)
         metric = cfg["metric"]
         if args.events == "skewed":
             metric += "_skewed"

@@ -199,3 +199,42 @@ def test_sharded_train_step_on_8_devices(mini, tmp_path):
     d = jax.tree.map(lambda a, b: float(np.abs(a - np.asarray(b)).max()),
                      params_before, state1.params)
     assert max(jax.tree.leaves(d)) > 0
+
+
+@pytest.mark.slow
+def test_mixed_precision_train_step():
+    """half_precision=True = TPU mixed precision: bf16 compute copies inside
+    the differentiated fn, f32 master weights updated by the optimizer.
+    Losses must track the f32 step within bf16 resolution and masters must
+    stay f32 (trainer._compute_params)."""
+    import optax
+
+    from frlw_evd_tpu.models import build_detector
+    from frlw_evd_tpu.train.trainer import (create_train_state,
+                                            make_train_step)
+
+    model = build_detector(2, family="aed", stem="bfm",
+                           in_channels=(32, 32, 32), stem_out_channels=16,
+                           head_width=32)
+    tx = optax.adam(1e-3)
+    state0 = create_train_state(model, jax.random.key(0),
+                                jnp.zeros((1, 32, 64, 16), jnp.float32), tx)
+    imgs = jax.random.uniform(jax.random.key(1), (2, 32, 64, 16))
+    labels = np.zeros((2, 10, 5), np.float32)
+    labels[:, :2, :] = [[1, 30, 16, 12, 10], [0, 48, 20, 10, 8]]
+    args = (jnp.asarray(imgs), jnp.asarray(labels), jax.random.key(2))
+
+    outs = {}
+    for hp in (False, True):
+        step = make_train_step((8, 16, 32), 2, 2.5, half_precision=hp)
+        state = jax.tree.map(jnp.copy, state0)
+        for i in range(2):
+            state, losses = step(state, *args)
+        outs[hp] = (state, float(losses["total_loss"]))
+        # masters stay f32 either way
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree.leaves(state.params)
+                   if jnp.issubdtype(p.dtype, jnp.floating))
+    assert np.isfinite(outs[True][1])
+    # bf16 compute tracks f32 loosely (bf16 has ~3 significant digits)
+    assert outs[True][1] == pytest.approx(outs[False][1], rel=0.05)
