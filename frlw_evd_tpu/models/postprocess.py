@@ -32,9 +32,38 @@ def iou_matrix_xyxy(boxes):
 def nms_mask(boxes_xyxy, scores, valid, iou_threshold: float):
     """Greedy class-agnostic NMS over K pre-sorted-by-score boxes.
 
-    Boxes MUST be sorted by descending score. Returns (K,) keep mask.
-    Implemented as a sequential scan over the sorted list — identical result
-    to torchvision.ops.nms."""
+    Boxes MUST be sorted by descending score. Returns (K,) keep mask,
+    identical to torchvision.ops.nms.
+
+    Instead of a K-step sequential scan, iterate the suppression relation
+    keep[i] = valid[i] & ~any_{j<i}(keep[j] & iou[j,i] > t) to its unique
+    fixpoint (the greedy solution). Each iteration settles at least one more
+    decision point of every suppression chain, so it converges in at most
+    max-chain-depth steps (typically 2-4 on detection output, vs K=100
+    sequential scan steps); exactness is pinned against the reference scan
+    in tests/test_eval.py::test_nms_fixpoint_matches_sequential."""
+    K = boxes_xyxy.shape[0]
+    ious = iou_matrix_xyxy(boxes_xyxy)
+    earlier = jnp.arange(K)[:, None] < jnp.arange(K)[None, :]
+    sup_edge = earlier & (ious > iou_threshold)          # j suppresses i
+
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < K) & jnp.any(keep != prev)
+
+    def body(carry):
+        keep, _, it = carry
+        new = valid & ~jnp.any(sup_edge & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(cond, body,
+                                    (valid, ~valid, jnp.int32(0)))
+    return keep
+
+
+def nms_mask_sequential(boxes_xyxy, scores, valid, iou_threshold: float):
+    """Reference formulation: K-step sequential scan (kept as the oracle for
+    the fixpoint variant; identical result to torchvision.ops.nms)."""
     K = boxes_xyxy.shape[0]
     ious = iou_matrix_xyxy(boxes_xyxy)
 

@@ -179,6 +179,48 @@ def test_nms_matches_greedy_reference(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_nms_fixpoint_matches_sequential(rng):
+    """The while-loop fixpoint NMS must equal the K-step sequential scan
+    bit-for-bit — incl. long suppression chains (worst case for the
+    fixpoint's convergence) and all-invalid inputs — and stay exact under
+    vmap (batched convergence condition)."""
+    from frlw_evd_tpu.models.postprocess import nms_mask_sequential
+
+    cases = []
+    for seed in range(20):
+        r = np.random.default_rng(seed)
+        K = 100
+        n = int(r.integers(1, K + 1))
+        boxes = np.zeros((K, 4), np.float32)
+        boxes[:n, :2] = r.uniform(0, 200, (n, 2))
+        boxes[:n, 2:] = r.uniform(5, 80, (n, 2))
+        scores = np.sort(r.uniform(0, 1, K).astype(np.float32))[::-1].copy()
+        valid = np.arange(K) < n
+        cases.append((boxes, scores, valid))
+    # adversarial: a 100-box chain where each box overlaps only its
+    # neighbours (each iteration settles ~one decision)
+    K = 100
+    chain = np.zeros((K, 4), np.float32)
+    chain[:, 0] = np.arange(K) * 6.0       # cx, width 10 → IoU(adj) = 0.25
+    chain[:, 1] = 50.0
+    chain[:, 2:] = 10.0
+    cases.append((chain, np.linspace(1, 0.5, K, dtype=np.float32),
+                  np.ones(K, bool)))
+    cases.append((chain, np.linspace(1, 0.5, K, dtype=np.float32),
+                  np.zeros(K, bool)))       # all invalid
+
+    batched = [jnp.asarray(np.stack([c[i] for c in cases]))
+               for i in range(3)]
+    xyxy = cxcywh_to_xyxy(batched[0])
+    got_b = np.asarray(jax.vmap(lambda b, s, v: nms_mask(b, s, v, 0.2))(
+        xyxy, batched[1], batched[2]))
+    for i, (boxes, scores, valid) in enumerate(cases):
+        ref = np.asarray(nms_mask_sequential(
+            cxcywh_to_xyxy(jnp.asarray(boxes)), jnp.asarray(scores),
+            jnp.asarray(valid), 0.2))
+        np.testing.assert_array_equal(got_b[i], ref, err_msg=f"case {i}")
+
+
 def test_postprocess_confidence_gate(rng):
     A, C_ = 100, 2
     dec = np.zeros((A, 5 + C_), np.float32)
