@@ -41,7 +41,7 @@ def nms_mask(boxes_xyxy, scores, valid, iou_threshold: float):
     decision point of every suppression chain, so it converges in at most
     max-chain-depth steps (typically 2-4 on detection output, vs K=100
     sequential scan steps); exactness is pinned against the reference scan
-    in tests/test_eval.py::test_nms_fixpoint_matches_sequential."""
+    in tests/test_models.py::test_nms_fixpoint_matches_sequential."""
     K = boxes_xyxy.shape[0]
     ious = iou_matrix_xyxy(boxes_xyxy)
     earlier = jnp.arange(K)[:, None] < jnp.arange(K)[None, :]
