@@ -354,13 +354,18 @@ def run_train_bench(cfg, batch, events_kind, remat=False):
     labels = np.zeros((STEPS_PER_CALL, batch, n_lab, 5), np.float32)
     for s in range(STEPS_PER_CALL):
         if events_kind == "skewed":
-            # leaky TAF volumes are mostly background with hot blobs
+            # leaky TAF volumes are mostly background with hot blobs:
+            # per-sample blob positions and per-pixel noise inside each blob
+            # (a constant fill would be far more degenerate than the
+            # clustered event streams this mimics)
             vol = np.zeros((batch, h, w, 2 * K), np.float32)
-            for _ in range(6):
-                cy, cx = rng.integers(0, h), rng.integers(0, w)
-                sz = int(rng.integers(8, 64))
-                vol[:, max(0, cy - sz):cy + sz, max(0, cx - sz):cx + sz] = \
-                    rng.uniform(0, 1)
+            for b in range(batch):
+                for _ in range(6):
+                    cy, cx = rng.integers(0, h), rng.integers(0, w)
+                    sz = int(rng.integers(8, 64))
+                    y0, x0 = max(0, cy - sz), max(0, cx - sz)
+                    region = vol[b, y0:cy + sz, x0:cx + sz]
+                    region[:] = rng.uniform(0, 1, region.shape)
         else:
             vol = rng.uniform(0, 1, (batch, h, w, 2 * K)).astype(np.float32)
         imgs.append(jnp.asarray(vol, jnp.float32))

@@ -28,9 +28,20 @@ if _envp:
     # prepend their platform to jax.config.jax_platforms at interpreter
     # start, silently overriding the documented JAX_PLATFORMS env contract
     # ("cpu" becomes "axon,cpu" and subprocesses land on the TPU). Restore
-    # the env's explicit choice before any backend initialises.
+    # the env's explicit choice before any backend initialises — but ONLY
+    # when the current value looks plugin-prepended (ends with the env
+    # choice), so a deliberate programmatic jax.config.update made before
+    # importing this package is never clobbered. No-op once backends exist.
     import jax as _jax
 
-    if _jax.config.jax_platforms != _envp:
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _inited = bool(getattr(_xb, "_backends", {}))
+    except Exception:  # private API moved: assume not yet initialised
+        _inited = False
+    _cur = _jax.config.jax_platforms
+    if _cur != _envp and _cur and _cur.endswith(_envp) and not _inited:
         _jax.config.update("jax_platforms", _envp)
+    del _jax, _cur, _inited
 del _os

@@ -31,12 +31,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 def _pallas_call(*args, **kwargs):
-    """pl.pallas_call, interpreted automatically on CPU backends (tests and
-    the driver's virtual-CPU multichip dryrun run the same kernels)."""
+    """pl.pallas_call, interpreted automatically on CPU execution (tests and
+    the driver's virtual-CPU multichip dryrun run the same kernels).
+
+    The decision honours, in order: the FRLW_PALLAS_INTERPRET env var (0/1
+    explicit override), a `jax.default_device` pinned to a CPU device (a
+    TPU-attached host steering this computation to CPU must get the
+    interpreter, not a Mosaic lowering for a CPU device), then the default
+    backend."""
+    import os as _os
+
     import jax as _jax
 
-    if _jax.default_backend() == "cpu":
-        kwargs.setdefault("interpret", True)
+    env = _os.environ.get("FRLW_PALLAS_INTERPRET")
+    if env is not None:
+        kwargs.setdefault("interpret", env not in ("0", "false", ""))
+    else:
+        dd = _jax.config.jax_default_device
+        on_cpu = (getattr(dd, "platform", None) == "cpu" if dd is not None
+                  else _jax.default_backend() == "cpu")
+        if on_cpu:
+            kwargs.setdefault("interpret", True)
     return pl.pallas_call(*args, **kwargs)
 
 
@@ -423,6 +438,13 @@ def scatter_cnt_tsum_pallas_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
     rounding in the XLA path); precise=True pair-sorts and carries bf16x2.
     """
     B, E = idx.shape
+    # the level-2/3 gating flags are packed into single int32 bitmasks per
+    # chunk (_host_bands); a larger s_chunk would shift past bit 31 and
+    # silently never fire those bands while the host marks events covered
+    if s_chunk // S_SUB > 32 or s_chunk // S_SUB3 > 32:
+        raise ValueError(
+            f"s_chunk={s_chunk} needs {s_chunk // S_SUB3} level-3 flag bits; "
+            "the SMEM gating masks are single int32 words (max 32)")
     n_hi = -(-size // LANES)
     V = s_delta // 2
     max_base = (n_hi // V) * V          # sentinel row n_hi's band base

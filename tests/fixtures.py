@@ -166,3 +166,49 @@ def _write_taf_blobs(xytp, ann_times, sensor_hw, taf_dir, split, stream,
         b_old.tofile(os.path.join(taf_dir, split, f"bins{K}",
                                   f"{stream}_{t_ann}.npy"))
         time_upperbound = end_time
+
+
+def simota_cost_replica(gt_boxes, gt_classes, pred_boxes, obj, cls, xs, ys,
+                         ss, radius, num_classes):
+    """Float64 numpy replica of the reference's SimOTA cost
+    (yolo_head.py:671-707): cls BCE(sqrt(cls_sig*obj_sig)) + 3*(-log iou)
+    + 1e5 * outside-center, +inf off the candidate set. Used only to PROVE
+    that fg disagreements sit on the dynamic-k cost boundary."""
+    G, A = len(gt_boxes), len(pred_boxes)
+    gx, gy, gw, gh = (gt_boxes[:, i:i + 1].astype(np.float64)
+                      for i in range(4))
+    xc, yc = (xs + 0.5) * ss, (ys + 0.5) * ss
+    in_box = (np.minimum(
+        np.minimum(xc[None] - (gx - 0.5 * gw), (gx + 0.5 * gw) - xc[None]),
+        np.minimum(yc[None] - (gy - 0.5 * gh), (gy + 0.5 * gh) - yc[None]),
+    ) > 0)
+    r = radius * ss[None, :]
+    in_center = (np.minimum(
+        np.minimum(xc[None] - (gx - r), (gx + r) - xc[None]),
+        np.minimum(yc[None] - (gy - r), (gy + r) - yc[None])) > 0)
+    candidate = in_box.any(0) | in_center.any(0)
+
+    pb = pred_boxes.astype(np.float64)
+    tl = np.maximum(gt_boxes[:, None, :2] - gt_boxes[:, None, 2:] / 2,
+                    pb[None, :, :2] - pb[None, :, 2:] / 2)
+    br = np.minimum(gt_boxes[:, None, :2] + gt_boxes[:, None, 2:] / 2,
+                    pb[None, :, :2] + pb[None, :, 2:] / 2)
+    inter = np.prod(np.maximum(br - tl, 0), -1) * (br > tl).all(-1)
+    union = (np.prod(gt_boxes[:, 2:], -1)[:, None]
+             + np.prod(pb[:, 2:], -1)[None, :] - inter)
+    iou = inter / np.maximum(union, 1e-300)
+    iou_cost = -np.log(iou + 1e-8)
+
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v.astype(np.float64)))
+    p = np.sqrt(sig(cls) * sig(obj)[:, None])                  # (A, C)
+    onehot = np.eye(num_classes)[gt_classes]                   # (G, C)
+    eps = 1e-12
+    bce = -(onehot[:, None] * np.log(p[None] + eps)
+            + (1 - onehot[:, None]) * np.log(1 - p[None] + eps))
+    cls_cost = bce.sum(-1)                                     # (G, A)
+
+    cost = cls_cost + 3.0 * iou_cost + 1e5 * (~(in_box & in_center))
+    cost = np.where(candidate[None, :], cost, np.inf)
+    masked_iou = np.where(candidate[None, :], iou, 0.0)
+    ks = np.maximum(np.sort(masked_iou, 1)[:, -10:].sum(1).astype(int), 1)
+    return cost, ks

@@ -1,6 +1,12 @@
 """End-to-end differential: run the REFERENCE's own offline generator
 scripts (torch, CPU-patched) on a mini real-geometry GEN1 `.dat` tree and
-byte-compare their output blob trees against our `tools/generate_*.py` CLIs.
+compare their output blob trees against our `tools/generate_*.py` CLIs.
+
+Comparison policy (compare_blob_trees): identical file sets and shapes;
+per-byte values must match except for legitimate cross-framework rounding at
+the final float→uint8 cast, bounded to |Δ| <= 1 on < 0.5% of bytes. The
+window logic, bin maths and file layout are pinned exactly — any structural
+divergence fails regardless of magnitude.
 
 This pins the FILE-level window logic — count-bounded backward seek,
 bin alignment, resume-from-previous-timestamp, end-time clamping at
