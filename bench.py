@@ -78,6 +78,33 @@ CONFIGS = {
     "gen4_train": dict(train=True, input_hw=(512, 640), batch=32,
                        num_classes=7,
                        metric="gen4_aed_taf8_simota_train_throughput"),
+    # batch-1 serving latency: ms per 10 ms window, encode+detect+NMS,
+    # host-read fenced — the reference's headline serving metric
+    # (test.py:20 batch-1 note; evaluate/evaluator.py:105-108 per-window
+    # CUDA-synced timing). vs_baseline = 10 ms / measured ms (>1 ⇒ faster
+    # than real time at batch 1).
+    "gen1_latency": dict(sensor_hw=(240, 304), input_hw=(256, 320), batch=1,
+                         events_per_bin=16384, latency=True,
+                         metric="gen1_aed_taf8_batch1_window_latency"),
+    "gen4_latency": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=1,
+                         events_per_bin=65536, fused=False, scatter="pallas",
+                         p64=True, folded_stem=True, latency=True,
+                         metric="gen4_aed_taf8_batch1_window_latency"),
+    # per-representation streaming ENCODER throughput (reference: the
+    # timing counters in generate_eventvolume.py:151-175 sweep all four
+    # representations; TAF's encode stage is covered by --profile above)
+    "gen1_eci": dict(encoder="eci", sensor_hw=(240, 304), batch=128,
+                     events_per_bin=16384,
+                     metric="gen1_eci_stream_encode_throughput"),
+    "gen1_sae": dict(encoder="sae", sensor_hw=(240, 304), batch=128,
+                     events_per_bin=16384,
+                     metric="gen1_sae_stream_encode_throughput"),
+    "gen1_ev": dict(encoder="ev", sensor_hw=(240, 304), batch=128,
+                    events_per_bin=16384,
+                    metric="gen1_ev_stream_encode_throughput"),
+    "gen1_frame": dict(encoder="frame", sensor_hw=(240, 304), batch=128,
+                       events_per_bin=16384,
+                       metric="gen1_frame_stream_encode_throughput"),
 }
 
 K = 8
@@ -85,7 +112,7 @@ STEPS_PER_CALL = 10   # distinct synthetic event batches cycled over
 
 
 def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas",
-                      folded=False):
+                      folded=False, nms_impl="fixpoint"):
     """Patchified-state pipeline: the TAF queue lives at quarter resolution
     with the 2x2 subpixels packed into channels (s-major, 4*2K = 64-channel
     minor → 4x the TPU lane occupancy of the 16-channel layout), the fused
@@ -108,7 +135,8 @@ def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas",
         outs = model.apply(variables, vol, False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, (8, 16, 32))
-        dets, keep = postprocess_batch(decoded, max_detections=100)
+        dets, keep = postprocess_batch(decoded, max_detections=100,
+                                       nms_impl=nms_impl)
         return keep.sum()
 
     def run_step(state, ev, nv):
@@ -121,7 +149,7 @@ def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas",
 
 
 def make_pipeline_packed(model, variables, sensor_hw, input_hw,
-                         scatter="pallas"):
+                         scatter="pallas", nms_impl="fixpoint"):
     """Packed-state pipeline: the TAF queue lives in the network channel
     order (B, H, W, 2K), so the whole update is elementwise and
     leaky_transform(state) IS the detector input — no reversal/transpose
@@ -147,7 +175,8 @@ def make_pipeline_packed(model, variables, sensor_hw, input_hw,
         outs = model.apply(variables, vol, False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, (8, 16, 32))
-        dets, keep = postprocess_batch(decoded, max_detections=100)
+        dets, keep = postprocess_batch(decoded, max_detections=100,
+                                       nms_impl=nms_impl)
         return keep.sum()
 
     def run_step(state, ev, nv):
@@ -160,7 +189,7 @@ def make_pipeline_packed(model, variables, sensor_hw, input_hw,
 
 
 def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
-                  fused=True):
+                  fused=True, nms_impl="fixpoint"):
     """fused=True compiles the whole window as one program; fused=False
     chains three jits (encode / transform / detect). Measured on v5e: GEN1
     prefers fused (26.5 vs 28.7 ms), gen4 prefers split (61 vs 66 ms) —
@@ -199,7 +228,8 @@ def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
         outs = model.apply(variables, vol, False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, (8, 16, 32))
-        dets, keep = postprocess_batch(decoded, max_detections=100)
+        dets, keep = postprocess_batch(decoded, max_detections=100,
+                                       nms_impl=nms_impl)
         return keep.sum()
 
     if not fused:
@@ -221,7 +251,8 @@ def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
         outs = model.apply(variables, vol, False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, (8, 16, 32))
-        _, keep = postprocess_batch(decoded, max_detections=100)
+        _, keep = postprocess_batch(decoded, max_detections=100,
+                                    nms_impl=nms_impl)
         return state, keep.sum()
 
     return run_step_fused
@@ -331,9 +362,15 @@ def overflow_rate(ev, n_valid, sensor_hw, p64, s_chunk=1024, s_delta=256,
     return over / max(total, 1)
 
 
-def run_train_bench(cfg, batch, events_kind, remat=False):
+def run_train_bench(cfg, batch, events_kind, remat=False, p64=False,
+                    rng_impl="threefry2x32"):
     """Jitted production SimOTA train step at production batch: ms/step,
-    windows/s and MFU (XLA cost-analysis FLOPs over the v5e bf16 peak)."""
+    windows/s and MFU (XLA cost-analysis FLOPs over the v5e bf16 peak).
+
+    p64=True routes through the patchified bfm_p64 stem (identical param
+    tree/math; the step space-to-depths the volume once, so the
+    full-resolution 16-channel-minor tensors never exist in fwd or bwd).
+    rng_impl='rbg' uses the TPU hardware bit generator for dropout masks."""
     import optax
 
     from frlw_evd_tpu.train.trainer import create_train_state, make_train_step
@@ -341,12 +378,16 @@ def run_train_bench(cfg, batch, events_kind, remat=False):
 
     h, w = cfg["input_hw"]
     nc = cfg["num_classes"]
-    model = build_detector(nc, family="aed", stem="bfm")
+    model = build_detector(nc, family="aed", stem="bfm_p64" if p64 else "bfm")
     tx = optax.adam(1e-3)
-    state = create_train_state(model, jax.random.key(0),
-                               jnp.zeros((1, h, w, 2 * K), jnp.float32), tx)
+    sample = jnp.zeros((1, h, w, 2 * K), jnp.float32)
+    if p64:
+        from frlw_evd_tpu.models.blocks import space_to_depth_patches
+
+        sample = space_to_depth_patches(sample)
+    state = create_train_state(model, jax.random.key(0), sample, tx)
     step = make_train_step((8, 16, 32), nc, 2.5, half_precision=True,
-                           remat=remat)
+                           remat=remat, patchify=p64)
 
     rng = np.random.default_rng(0)
     n_lab = 40
@@ -378,7 +419,7 @@ def run_train_bench(cfg, batch, events_kind, remat=False):
             labels[s, b, :g, 3] = rng.uniform(8, 80, g)
             labels[s, b, :g, 4] = rng.uniform(8, 60, g)
     labels = jnp.asarray(labels)
-    key = jax.random.key(1)
+    key = jax.random.key(1, impl=rng_impl)
 
     cost = flops_report(
         lambda st, im, lb, k: step(st, im, lb, k)[1]["total_loss"],
@@ -404,6 +445,76 @@ def run_train_bench(cfg, batch, events_kind, remat=False):
     return wps
 
 
+def run_encoder_bench(cfg, batch, events_kind):
+    """Streaming ENCODER throughput for one representation (ECI / SAE /
+    incremental Event Volume / binary frame) at gen1 geometry: w/s and
+    Mev/s, state carried on device, host-read fenced. Matches the
+    reference's per-encoder timing counters (generate_eventvolume.py:151-175)
+    for the representations its offline generators sweep."""
+    from frlw_evd_tpu.encode.count_image import encode_count_image
+    from frlw_evd_tpu.encode.streaming import (event_frame_stream,
+                                               event_volume_stream,
+                                               sae_stream)
+
+    h, w = cfg["sensor_hw"]
+    E = cfg["events_per_bin"]
+    kind = cfg["encoder"]
+    rng = np.random.default_rng(0)
+    synth = (synth_events_skewed if events_kind == "skewed"
+             else synth_events)
+    events, n_valid = synth(rng, STEPS_PER_CALL, batch, E, (h, w))
+    # real µs timestamps: window i spans [i*10ms, (i+1)*10ms)
+    ev_host = np.array(events)  # writable host copy
+    for i in range(STEPS_PER_CALL):
+        ev_host[i, ..., 2] = (i + ev_host[i, ..., 2]) * 10000.0
+    events = jnp.asarray(ev_host)
+
+    if kind == "eci":
+        fn = jax.jit(jax.vmap(partial(encode_count_image, height=h, width=w)))
+
+        def step(state, ev, nv, now):
+            return fn(ev[..., :4], nv), None
+    elif kind == "frame":
+        def step(state, ev, nv, now):
+            return event_frame_stream(ev, nv, None, height=h, width=w)
+    elif kind == "ev":
+        fn = jax.jit(partial(event_volume_stream, height=h, width=w, bins=5))
+
+        def step(state, ev, nv, now):
+            # now as a device scalar: a python float would retrace per step
+            return fn(ev, nv, state, jnp.float32(now))
+    elif kind == "sae":
+        fn = jax.jit(partial(sae_stream, height=h, width=w))
+
+        def step(state, ev, nv, now):
+            return fn(ev, nv, state, jnp.float32(now))
+    else:
+        raise ValueError(kind)
+
+    fence = lambda a: float(a[(0,) * a.ndim])
+    state = None
+    out, state = step(state, events[0], n_valid[0], 10000.0)
+    fence(out)
+
+    n_steps = 50
+    t0 = time.time()
+    for i in range(n_steps):
+        s = i % STEPS_PER_CALL
+        out, state = step(state, events[s], n_valid[s], (s + 1) * 10000.0)
+    fence(out)
+    elapsed = time.time() - t0
+
+    wps = n_steps * batch / elapsed
+    nv_host = np.asarray(n_valid)
+    total_events = sum(int(nv_host[i % STEPS_PER_CALL].sum())
+                       for i in range(n_steps))
+    mev_s = total_events / elapsed / 1e6
+    print(f"# {kind}: {wps:.1f} windows/s, {mev_s:.1f} Mev/s, "
+          f"{elapsed / n_steps * 1000:.2f} ms per {batch}-stream window",
+          file=sys.stderr)
+    return wps
+
+
 def main():
     import argparse
 
@@ -419,6 +530,17 @@ def main():
                         help="rematerialise the forward in the backward "
                              "(jax.checkpoint): fits larger train batches "
                              "in the 16 GB HBM at ~1 extra forward of cost")
+    parser.add_argument("--p64", action="store_true",
+                        help="train through the patchified bfm_p64 stem "
+                             "(identical math/params; quarter-res 64-minor "
+                             "layout instead of full-res 16-minor)")
+    parser.add_argument("--rng", default="threefry2x32",
+                        choices=("threefry2x32", "rbg", "unsafe_rbg"),
+                        help="dropout PRNG bit generator for the train step")
+    parser.add_argument("--nms", default="fixpoint",
+                        choices=("fixpoint", "sequential"),
+                        help="NMS formulation in the timed postprocess "
+                             "(on-chip A/B; identical keep masks)")
     parser.add_argument("--profile", action="store_true",
                         help="also print a per-stage breakdown (split "
                              "pipeline only) to stderr")
@@ -426,7 +548,21 @@ def main():
     cfg = CONFIGS[args.config]
     if cfg.get("train"):
         batch = args.batch or cfg["batch"]
-        wps = run_train_bench(cfg, batch, args.events, remat=args.remat)
+        wps = run_train_bench(cfg, batch, args.events, remat=args.remat,
+                              p64=args.p64, rng_impl=args.rng)
+        metric = cfg["metric"]
+        if args.events == "skewed":
+            metric += "_skewed"
+        print(json.dumps({
+            "metric": metric,
+            "value": round(wps, 1),
+            "unit": "windows/s/chip",
+            "vs_baseline": round(wps / 100.0, 2),
+        }))
+        return
+    if cfg.get("encoder"):
+        batch = args.batch or cfg["batch"]
+        wps = run_encoder_bench(cfg, batch, args.events)
         metric = cfg["metric"]
         if args.events == "skewed":
             metric += "_skewed"
@@ -470,16 +606,19 @@ def main():
 
         run_step = make_pipeline_p64(model, variables, sensor_hw,
                                      cfg.get("scatter", "pallas"),
-                                     folded=bool(cfg.get("folded_stem")))
+                                     folded=bool(cfg.get("folded_stem")),
+                                     nms_impl=args.nms)
         state = p64_init_state(BATCH, h, w, K)
     elif cfg.get("packed"):
         run_step = make_pipeline_packed(model, variables, sensor_hw,
-                                        input_hw, cfg.get("scatter", "pallas"))
+                                        input_hw, cfg.get("scatter", "pallas"),
+                                        nms_impl=args.nms)
         state = jnp.full((BATCH, h, w, 2 * K), -6000.0, jnp.float32)
     else:
         run_step = make_pipeline(model, variables, sensor_hw, input_hw,
                                  cfg.get("scatter", "mxu"),
-                                 fused=cfg.get("fused", True))
+                                 fused=cfg.get("fused", True),
+                                 nms_impl=args.nms)
         state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
     if args.events == "skewed":
         events, n_valid = synth_events_skewed(rng, STEPS_PER_CALL, BATCH,
@@ -520,6 +659,34 @@ def main():
         float(k0)
         print(f"# stage detect: {(time.time() - t0) / 10 * 1000:.2f} ms",
               file=sys.stderr)
+
+    if cfg.get("latency"):
+        # serving latency: every window is host-read fenced (no dispatch
+        # pipelining across windows — the number a real-time consumer sees)
+        n_steps = 200
+        times = []
+        for i in range(n_steps):
+            t0 = time.time()
+            state, kept = run_step(state, events[i % STEPS_PER_CALL],
+                                   n_valid[i % STEPS_PER_CALL])
+            float(kept)
+            times.append(time.time() - t0)
+        lat = np.asarray(times) * 1000.0
+        ms = float(np.median(lat))
+        print(f"# batch-1 latency: median {ms:.3f} ms, p90 "
+              f"{float(np.percentile(lat, 90)):.3f} ms, p99 "
+              f"{float(np.percentile(lat, 99)):.3f} ms per 10 ms window",
+              file=sys.stderr)
+        metric = cfg["metric"]
+        if args.events == "skewed":
+            metric += "_skewed"
+        print(json.dumps({
+            "metric": metric,
+            "value": round(ms, 3),
+            "unit": "ms/window@batch1",
+            "vs_baseline": round(10.0 / ms, 2),
+        }))
+        return
 
     n_steps = 50
     t0 = time.time()

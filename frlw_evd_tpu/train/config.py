@@ -60,6 +60,15 @@ class ExpConfig:
     remat: bool = False                # jax.checkpoint the forward pass:
                                        # trades recompute FLOPs for
                                        # activation memory (big batch / 1Mpx)
+    patchified: bool = False           # route train/eval through the
+                                       # quarter-res p64 stem (identical
+                                       # params/math; the full-res C-minor
+                                       # tensors never exist — see
+                                       # trainer.make_train_step)
+    rng_impl: str = "threefry2x32"     # dropout PRNG impl: 'threefry2x32'
+                                       # (default, cross-platform bits) or
+                                       # 'rbg' (TPU hardware bit generator —
+                                       # much cheaper mask generation)
 
     # geometry overrides (None → dataset defaults); used by tests/mini sets
     img_size_override: Optional[Tuple[int, int]] = None

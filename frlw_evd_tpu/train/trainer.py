@@ -232,19 +232,29 @@ def make_memory_eval_step(strides, max_detections=200, half_precision=False):
 
 
 def make_train_step(strides, num_classes, radius, half_precision=False,
-                    remat=False):
+                    remat=False, patchify=False):
     """Returns a jitted (state, imgs, labels, dropout_rng) → (state, metrics).
 
     Under a mesh with the batch sharded over `data`, jit/GSPMD adds the
     gradient all-reduce automatically (params replicated). remat=True
     rematerialises the forward pass in the backward (jax.checkpoint),
     trading recompute FLOPs for activation memory on a fixed HBM budget
-    (verified numerically identical to the plain step on v5e)."""
+    (verified numerically identical to the plain step on v5e).
+
+    patchify=True space-to-depths the (B, H, W, C) volume to
+    (B, H/2, W/2, 4C) once at the top of the step and expects a model built
+    with a `*_p64` stem (identical parameter tree): the full-resolution
+    C-minor tensors — 12.5% TPU lane occupancy for TAF K=8 — never exist in
+    the forward OR backward pass. Same math as the canonical stem
+    (tests/test_train_p64.py proves loss+grad parity)."""
+    from ..models.blocks import space_to_depth_patches
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, imgs, labels, dropout_rng):
         if half_precision:
             imgs = imgs.astype(jnp.bfloat16)
+        if patchify:
+            imgs = space_to_depth_patches(imgs)
 
         def forward(params):
             params = _compute_params(params, half_precision)
@@ -272,14 +282,18 @@ def make_train_step(strides, num_classes, radius, half_precision=False,
     return train_step
 
 
-def make_eval_step(strides, max_detections=200, half_precision=False):
+def make_eval_step(strides, max_detections=200, half_precision=False,
+                   patchify=False):
     """Returns a jitted (state, imgs) → (dets, keep) inference step
     (decode + confidence gate + NMS fused on device)."""
+    from ..models.blocks import space_to_depth_patches
 
     @jax.jit
     def eval_step(state: TrainState, imgs):
         if half_precision:
             imgs = imgs.astype(jnp.bfloat16)
+        if patchify:
+            imgs = space_to_depth_patches(imgs)
         outs = state.apply_fn(
             {"params": _compute_params(state.params, half_precision),
              "batch_stats": state.batch_stats},
@@ -296,6 +310,10 @@ class Trainer:
 
     def __init__(self, cfg: ExpConfig, mesh=None):
         self.cfg = cfg
+        if cfg.patchified and (cfg.family in ("red", "yolov3") or cfg.memory):
+            raise ValueError(
+                "patchified=True is only wired for the single-window "
+                "aed/yolox families (p64 stems)")
         self.mesh = mesh if mesh is not None else make_data_mesh(
             cfg.batch_size, cfg.data_axis)
         if cfg.family == "yolov3":
@@ -328,8 +346,15 @@ class Trainer:
                 head=YOLOXHead(num_classes=cfg.num_classes,
                                strides=tuple(cfg.strides), act=cfg.act))
         else:
+            stem = cfg.stem
+            if cfg.patchified:
+                patched = {"bfm": "bfm_p64", "focus": "focus_p64"}
+                if stem not in patched:
+                    raise ValueError(
+                        f"patchified=True has no p64 variant of stem {stem!r}")
+                stem = patched[stem]
             self.model = build_detector(
-                cfg.num_classes, family=cfg.family, stem=cfg.stem,
+                cfg.num_classes, family=cfg.family, stem=stem,
                 act=cfg.act, strides=cfg.strides,
                 in_channels=cfg.in_channels, depth=cfg.depth)
         self.exp_dir = os.path.join(
@@ -389,6 +414,10 @@ class Trainer:
         tx = optax.adam(schedule)
         h, w = cfg.img_size
         sample = jnp.zeros((1, h, w, cfg.input_channels), jnp.float32)
+        if cfg.patchified:
+            from ..models.blocks import space_to_depth_patches
+
+            sample = space_to_depth_patches(sample)
         if cfg.family == "red" or cfg.memory:
             carries = (self.model.init_carries(1, h, w)
                        if cfg.family == "red" else None)
@@ -429,10 +458,12 @@ class Trainer:
             self.train_step = make_train_step(cfg.strides, cfg.num_classes,
                                               cfg.center_radius,
                                               cfg.half_precision,
-                                              remat=cfg.remat)
+                                              remat=cfg.remat,
+                                              patchify=cfg.patchified)
             self.eval_step = make_eval_step(cfg.strides,
-                                            half_precision=cfg.half_precision)
-        self.dropout_rng = jax.random.key(cfg.seed + 1)
+                                            half_precision=cfg.half_precision,
+                                            patchify=cfg.patchified)
+        self.dropout_rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
         if cfg.use_ema:
             from .ema import ema_init, ema_update
 

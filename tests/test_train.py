@@ -238,3 +238,26 @@ def test_mixed_precision_train_step():
     assert np.isfinite(outs[True][1])
     # bf16 compute tracks f32 loosely (bf16 has ~3 significant digits)
     assert outs[True][1] == pytest.approx(outs[False][1], rel=0.05)
+
+
+@pytest.mark.slow
+def test_trainer_patchified_epoch(mini, tmp_path):
+    """cfg.patchified routes the Trainer through the p64 stem + patchifying
+    train/eval steps end-to-end (same param tree as the raw-stem model)."""
+    t = tiny_trainer(mini, log_path=str(tmp_path), patchified=True)
+    from frlw_evd_tpu.models import build_detector
+
+    # tiny_trainer re-shrinks the model with the RAW stem; redo with the p64
+    # variant the Trainer itself selected (cfg.stem stays 'focus')
+    assert t.cfg.patchified and t.cfg.stem == "focus"
+    t.model = build_detector(t.cfg.num_classes, family=t.cfg.family,
+                             stem="focus_p64", act=t.cfg.act,
+                             strides=t.cfg.strides,
+                             in_channels=t.cfg.in_channels,
+                             stem_out_channels=16, head_width=32)
+    t.create_datasets()
+    t.build(len(t.train_loader))
+    mean = t.train_epoch()
+    assert np.isfinite(mean["total_loss"])
+    stats = t.eval_epoch(t.make_evaluator())
+    assert np.isfinite(stats[0])
