@@ -59,6 +59,12 @@ CONFIGS = {
                      events_per_bin=65536, fused=False, scatter="pallas",
                      p64=True, folded_stem=True,
                      metric="gen4_aed_taf8_encode_detect_throughput"),
+    # gen1 with the patchified detector input assembled straight from the
+    # sensor-res state (4 quarter-res block gathers replace the full-input
+    # resize; bfm_p64 stem) — A/B against gen1_taf
+    "gen1_taf_p64": dict(sensor_hw=(240, 304), input_hw=(256, 320),
+                         batch=128, events_per_bin=16384, p64_input=True,
+                         metric="gen1_aed_taf8_encode_detect_throughput"),
     # previous packed-state (full-res 16-channel) pipeline for A/B
     "gen4_taf_packed": dict(sensor_hw=(512, 640), input_hw=(512, 640),
                             batch=128, events_per_bin=65536, fused=False,
@@ -189,13 +195,19 @@ def make_pipeline_packed(model, variables, sensor_hw, input_hw,
 
 
 def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
-                  fused=True, nms_impl="fixpoint"):
+                  fused=True, nms_impl="fixpoint", p64_input=False):
     """fused=True compiles the whole window as one program; fused=False
     chains three jits (encode / transform / detect). Measured on v5e: GEN1
     prefers fused (26.5 vs 28.7 ms), gen4 prefers split (61 vs 66 ms) —
     XLA's layout choices for the large scatter intermediates pessimize the
     conv pipeline when they share a program at the 512x640 grid. The stage
-    boundaries (state grid, input volume) live in HBM either way."""
+    boundaries (state grid, input volume) live in HBM either way.
+
+    p64_input=True assembles the PATCHIFIED detector input directly from
+    the sensor-resolution state — four quarter-res block gathers replace
+    the full-input-resolution resize, and the model must use the bfm_p64
+    stem (identical params): the 16-channel-minor full-resolution input
+    volume never exists, so every stem op runs at quarter res / 64-minor."""
     h, w = sensor_hw
 
     def _state_to_input(state):
@@ -205,12 +217,24 @@ def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
         # leaky transform in f32 (log1p precision), then cast BEFORE the
         # resize gather so it moves half the bytes
         vol = (leaky_transform(vol) / 255.0).astype(jnp.bfloat16)
+        ys = (np.arange(input_hw[0]) * (h / input_hw[0])).astype(np.int32)
+        xs = (np.arange(input_hw[1]) * (w / input_hw[1])).astype(np.int32)
+        if p64_input:
+            # patchified nearest resize: block s of the 2x2 space-to-depth
+            # selects the resized grid's (2i+sy, 2j+sx) pixels, i.e. the
+            # (ys[sy::2], xs[sx::2]) sensor rows/cols — s-major block order
+            # [tl, bl, tr, br] matches space_to_depth_patches / bfm_p64
+            blocks = [
+                jnp.take(jnp.take(vol, jnp.asarray(ys[sy::2]), axis=0),
+                         jnp.asarray(xs[sx::2]), axis=1)
+                for sy, sx in ((0, 0), (1, 0), (0, 1), (1, 1))
+            ]
+            return jnp.concatenate(blocks, axis=-1)  # (H/2, W/2, 4*2K)
         if input_hw != (h, w):
             # nearest resize as two single-axis takes — a combined 2D-index
             # gather costs ~40 ms on the gen4 grid
-            ys = (jnp.arange(input_hw[0]) * (h / input_hw[0])).astype(jnp.int32)
-            xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(jnp.int32)
-            vol = jnp.take(jnp.take(vol, ys, axis=0), xs, axis=1)
+            vol = jnp.take(jnp.take(vol, jnp.asarray(ys), axis=0),
+                           jnp.asarray(xs), axis=1)
         return vol
 
     # donate the TAF queue state: the (B, H, W, 2, K) grid is 671 MB-2.7 GB —
@@ -580,14 +604,14 @@ def main():
     nc = 2 if args.config.startswith("gen1") else 7
 
     rng = np.random.default_rng(0)
-    stem = "bfm_p64" if cfg.get("p64") else "bfm"
+    stem = "bfm_p64" if cfg.get("p64") or cfg.get("p64_input") else "bfm"
     if cfg.get("folded_stem"):
         stem = "bfm_folded"
     model = build_detector(nc, family="aed", stem=stem)
     if cfg.get("folded_stem"):
         sample = jnp.zeros((BATCH, input_hw[0] // 2,
                             (input_hw[1] // 2) * 8 * K), jnp.bfloat16)
-    elif cfg.get("p64"):
+    elif cfg.get("p64") or cfg.get("p64_input"):
         sample = jnp.zeros((BATCH, input_hw[0] // 2, input_hw[1] // 2,
                             8 * K), jnp.bfloat16)
     else:
@@ -618,7 +642,8 @@ def main():
         run_step = make_pipeline(model, variables, sensor_hw, input_hw,
                                  cfg.get("scatter", "mxu"),
                                  fused=cfg.get("fused", True),
-                                 nms_impl=args.nms)
+                                 nms_impl=args.nms,
+                                 p64_input=bool(cfg.get("p64_input")))
         state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
     if args.events == "skewed":
         events, n_valid = synth_events_skewed(rng, STEPS_PER_CALL, BATCH,

@@ -78,7 +78,7 @@ def nms_mask_sequential(boxes_xyxy, scores, valid, iou_threshold: float):
     return keep
 
 
-@partial(jax.jit, static_argnames=("max_detections",))
+@partial(jax.jit, static_argnames=("max_detections", "nms_impl"))
 def postprocess_image(decoded, *, conf_threshold: float = 0.3,
                       nms_threshold: float = 0.6, max_detections: int = 200,
                       nms_impl: str = "fixpoint"):
@@ -117,9 +117,14 @@ def postprocess_image(decoded, *, conf_threshold: float = 0.3,
 def postprocess_batch(decoded, *, conf_threshold: float = 0.3,
                       nms_threshold: float = 0.6, max_detections: int = 200,
                       nms_impl: str = "fixpoint"):
-    fn = partial(postprocess_image, conf_threshold=conf_threshold,
-                 nms_threshold=nms_threshold, max_detections=max_detections,
-                 nms_impl=nms_impl)
+    def fn(d):
+        # plain closure, not functools.partial: vmap flattens a partial's
+        # bound kwargs and cannot abstract the nms_impl string
+        return postprocess_image(d, conf_threshold=conf_threshold,
+                                 nms_threshold=nms_threshold,
+                                 max_detections=max_detections,
+                                 nms_impl=nms_impl)
+
     return jax.vmap(fn)(decoded)
 
 
