@@ -1,0 +1,22 @@
+"""Deployment export: tools/export_model.py serializes the serving step to
+a self-contained StableHLO artifact whose deserialized outputs match the
+live model exactly (the --check path)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_export_roundtrip(tmp_path):
+    out = str(tmp_path / "m.stablehlo")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+         "--out", out, "--img_hw", "64", "96", "--small", "--check"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "roundtrip check ok" in r.stdout
+    assert os.path.getsize(out) > 1e6
+    assert os.path.exists(out + ".meta.json")
