@@ -70,6 +70,9 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="deserialize the artifact and compare against the "
                          "live model on random input")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fold BatchNorm into conv kernels before export "
+                         "(models/fuse.py — reference fuse_model semantics)")
     # test/size overrides (mini fixtures)
     ap.add_argument("--img_hw", type=int, nargs=2, default=None)
     ap.add_argument("--small", action="store_true",
@@ -110,6 +113,11 @@ def main():
                            tx=optax.identity(), apply_fn=model.apply)
         state, _, _ = load_checkpoint(args.ckpt, state)
         params, batch_stats = state.params, state.batch_stats
+
+    if args.fuse:
+        from frlw_evd_tpu.models.fuse import fuse_conv_bn_params
+
+        params, batch_stats = fuse_conv_bn_params(params, batch_stats)
 
     # bake bf16 compute copies (inference dtype)
     params = jax.tree.map(

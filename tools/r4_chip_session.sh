@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-4 on-chip measurement matrix, in VERDICT priority order.
+# Run AFTER the compile cache is warm (tools/chip_poll.sh warms gen1_taf).
+# Each step tees to log/round4/ — every BASELINE row gets a raw log.
+set -u
+cd /root/repo
+mkdir -p log/round4
+run() {
+  name=$1; shift
+  echo "=== $name: $* ($(date -u +%H:%M:%S)) ==="
+  timeout 5400 "$@" 2>&1 | tee "log/round4/${name}.log"
+  echo "=== $name rc=$? ==="
+}
+
+# 1. re-validate gen1 (VERDICT #2) + fixpoint/sequential NMS A/B
+run gen1_taf            python bench.py --config gen1_taf
+run gen1_nms_seq        python bench.py --config gen1_taf --nms sequential
+# gen1 p64-input pipeline A/B (stem at quarter res)
+run gen1_taf_p64        python bench.py --config gen1_taf_p64
+
+# 2. training profile first (decides what to attack), then train benches
+run profile_gen1        python tools/train_profile.py --config gen1
+run train_gen1          python bench.py --config gen1_train
+run train_gen1_p64      python bench.py --config gen1_train --p64
+run train_gen1_p64_rbg  python bench.py --config gen1_train --p64 --rng rbg
+run train_gen1_rbg      python bench.py --config gen1_train --rng rbg
+
+# 3. gen4 training with bf16 (+remat at batch 32) — the outage-eaten number
+run train_gen4_p64_remat python bench.py --config gen4_train --p64 --remat
+run train_gen4_p64       python bench.py --config gen4_train --p64 --batch 16
+run profile_gen4         python tools/train_profile.py --config gen4 --quick
+
+# 4. batch-1 serving latency
+run latency_gen1        python bench.py --config gen1_latency
+run latency_gen4        python bench.py --config gen4_latency
+
+# 5. per-representation encoder throughput
+run enc_eci             python bench.py --config gen1_eci
+run enc_sae             python bench.py --config gen1_sae
+run enc_ev              python bench.py --config gen1_ev
+run enc_frame           python bench.py --config gen1_frame
+
+# 6. gen4 inference re-validate + skewed gate
+run gen4_taf            python bench.py --config gen4_taf
+run gen4_skewed         python bench.py --config gen4_taf --events skewed
+
+# 7. kernel check (26 cases on chip)
+run kcheck              python tools/tpu_kernel_check.py
+
+echo "=== r4 chip session complete ($(date -u +%H:%M:%S)) ==="
