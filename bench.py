@@ -561,6 +561,10 @@ def main():
     parser.add_argument("--rng", default="threefry2x32",
                         choices=("threefry2x32", "rbg", "unsafe_rbg"),
                         help="dropout PRNG bit generator for the train step")
+    parser.add_argument("--merged_head", action="store_true",
+                        help="run each head level's cls+reg towers as two "
+                             "double-width convs (identical math/params; "
+                             "MXU layout A/B)")
     parser.add_argument("--nms", default="fixpoint",
                         choices=("fixpoint", "sequential"),
                         help="NMS formulation in the timed postprocess "
@@ -607,7 +611,8 @@ def main():
     stem = "bfm_p64" if cfg.get("p64") or cfg.get("p64_input") else "bfm"
     if cfg.get("folded_stem"):
         stem = "bfm_folded"
-    model = build_detector(nc, family="aed", stem=stem)
+    model = build_detector(nc, family="aed", stem=stem,
+                           head_merged=args.merged_head)
     if cfg.get("folded_stem"):
         sample = jnp.zeros((BATCH, input_hw[0] // 2,
                             (input_hw[1] // 2) * 8 * K), jnp.bfloat16)

@@ -111,7 +111,8 @@ def build_detector(num_classes: int, *, family: str = "aed",
                    strides: Sequence[int] = (8, 16, 32),
                    in_channels: Sequence[int] = (256, 256, 256),
                    depth: float = 0.33, stem_out_channels: int = 64,
-                   head_width: int = 256) -> EventDetector:
+                   head_width: int = 256,
+                   head_merged: bool = False) -> EventDetector:
     """Exp-type model matrix (core/exp.py:352-391, :580-591).
 
     family: 'aed' (Darknet-21, uniform 256ch) or 'yolox' (CSPDarknet 0.33/0.5).
@@ -138,7 +139,7 @@ def build_detector(num_classes: int, *, family: str = "aed",
     else:
         raise ValueError(f"unknown family {family}")
     head = YOLOXHead(num_classes=num_classes, strides=tuple(strides), act=act,
-                     width=head_width)
+                     width=head_width, merged_branches=head_merged)
     return EventDetector(backbone=backbone, neck=neck, head=head)
 
 

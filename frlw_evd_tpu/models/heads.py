@@ -20,8 +20,95 @@ import numpy as np
 from flax import linen as nn
 
 from .assign import simota_assign
-from .blocks import BaseConv, DWConv
+from .blocks import BaseConv, DWConv, get_activation
 from .losses import bce_with_logits, iou_loss
+
+
+class _ConvBNParams(nn.Module):
+    """Declares one BaseConv-compatible tower layer's variables WITHOUT
+    applying them (conv/kernel, bn/{scale,bias} + batch_stats bn/{mean,var})
+    so a merged-layout apply can consume the canonical parameter tree."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self):
+        k = _NamedConvParam(self.in_channels, self.out_channels,
+                            name="conv")()
+        bn = _NamedBNParam(self.out_channels, name="bn")()
+        return {"kernel": k, **bn}
+
+
+class _NamedConvParam(nn.Module):
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, self.in_channels, self.out_channels))
+
+
+class _NamedBNParam(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = self.features
+        return {
+            "scale": self.param("scale", nn.initializers.ones, (f,)),
+            "bias": self.param("bias", nn.initializers.zeros, (f,)),
+            "mean": self.variable("batch_stats", "mean",
+                                  lambda: jnp.zeros(f)),
+            "var": self.variable("batch_stats", "var",
+                                 lambda: jnp.ones(f)),
+        }
+
+
+def _merged_towers(head, k, x, train):
+    """The cls and reg towers of head level k as TWO double-width convs.
+
+    Layer 0: one dense 3x3 conv W→2W whose kernel is the output-channel
+    concat of the canonical cls_convs_{k}_0 / reg_convs_{k}_0 kernels.
+    Layer 1: one grouped (groups=2) 3x3 conv 2W→2W with the canonical
+    layer-1 kernels as the two groups. BatchNorm is per-channel, so the
+    concat of each branch's scale/bias/mean/var is exact. Same math and the
+    IDENTICAL parameter tree as the separate towers — an MXU layout A/B,
+    not a different model. Returns (cls_feat, reg_feat)."""
+    W = head.width
+    h = x
+    for layer in (0, 1):
+        leaves = [
+            _ConvBNParams(W, W, name=f"{branch}_convs_{k}_{layer}",
+                          parent=head)()
+            for branch in ("cls", "reg")
+        ]
+        kernel = jnp.concatenate([l["kernel"] for l in leaves], axis=-1)
+        y = jax.lax.conv_general_dilated(
+            h, kernel.astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=2 if layer == 1 else 1)
+        y32 = y.astype(jnp.float32)
+        momentum, eps = 0.9, 1e-5
+        if train:
+            m = jnp.mean(y32, axis=(0, 1, 2))
+            v = jnp.var(y32, axis=(0, 1, 2))
+            for i, l in enumerate(leaves):
+                sl = slice(i * W, (i + 1) * W)
+                l["mean"].value = (momentum * l["mean"].value
+                                   + (1 - momentum) * m[sl])
+                l["var"].value = (momentum * l["var"].value
+                                  + (1 - momentum) * v[sl])
+        else:
+            m = jnp.concatenate([l["mean"].value for l in leaves])
+            v = jnp.concatenate([l["var"].value for l in leaves])
+        scale = jnp.concatenate([l["scale"] for l in leaves])
+        bias = jnp.concatenate([l["bias"] for l in leaves])
+        inv = jax.lax.rsqrt(v + eps) * scale
+        y = ((y32 - m) * inv + bias).astype(h.dtype)
+        h = get_activation(head.act)(y)
+    return h[..., :W], h[..., W:]
 
 
 class YOLOXHead(nn.Module):
@@ -31,6 +118,9 @@ class YOLOXHead(nn.Module):
     act: str = "silu"
     depthwise: bool = False
     prior_prob: float = 1e-2
+    merged_branches: bool = False  # run cls+reg towers as 2 double-width
+                                   # convs per level (identical math/params;
+                                   # on-chip MXU layout A/B)
 
     @nn.compact
     def __call__(self, features, train: bool = False):
@@ -43,16 +133,19 @@ class YOLOXHead(nn.Module):
         for k, x in enumerate(features):
             x = BaseConv(self.width, 1, 1, act=self.act,
                          name=f"stems_{k}")(x, train)
-            cls_feat = Conv(self.width, 3, 1, act=self.act,
-                            name=f"cls_convs_{k}_0")(x, train)
-            cls_feat = Conv(self.width, 3, 1, act=self.act,
-                            name=f"cls_convs_{k}_1")(cls_feat, train)
+            if self.merged_branches and not self.depthwise:
+                cls_feat, reg_feat = _merged_towers(self, k, x, train)
+            else:
+                cls_feat = Conv(self.width, 3, 1, act=self.act,
+                                name=f"cls_convs_{k}_0")(x, train)
+                cls_feat = Conv(self.width, 3, 1, act=self.act,
+                                name=f"cls_convs_{k}_1")(cls_feat, train)
+                reg_feat = Conv(self.width, 3, 1, act=self.act,
+                                name=f"reg_convs_{k}_0")(x, train)
+                reg_feat = Conv(self.width, 3, 1, act=self.act,
+                                name=f"reg_convs_{k}_1")(reg_feat, train)
             cls_out = nn.Conv(self.num_classes, (1, 1), bias_init=bias_init,
                               name=f"cls_preds_{k}")(cls_feat)
-            reg_feat = Conv(self.width, 3, 1, act=self.act,
-                            name=f"reg_convs_{k}_0")(x, train)
-            reg_feat = Conv(self.width, 3, 1, act=self.act,
-                            name=f"reg_convs_{k}_1")(reg_feat, train)
             reg_out = nn.Conv(4, (1, 1), name=f"reg_preds_{k}")(reg_feat)
             obj_out = nn.Conv(1, (1, 1), bias_init=bias_init,
                               name=f"obj_preds_{k}")(reg_feat)

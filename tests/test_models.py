@@ -246,3 +246,36 @@ def test_eval_decode_sigmoid(small_model):
     dec = jax.jit(lambda o: eval_decode(o, (8, 16, 32)))(outs)
     obj = np.asarray(dec[0, :, 4])
     assert ((obj >= 0) & (obj <= 1)).all()
+
+
+def test_merged_head_matches_canonical():
+    """YOLOXHead(merged_branches=True) — the cls+reg towers as two
+    double-width convs — has the IDENTICAL parameter tree and matching
+    outputs/batch-stats in both modes (an MXU layout A/B, not a new model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from frlw_evd_tpu.models.heads import YOLOXHead
+
+    W = 64
+    r = np.random.default_rng(0)
+    feats = [jnp.asarray(r.normal(0, 1, (2, 16, 20, W)), jnp.float32),
+             jnp.asarray(r.normal(0, 1, (2, 8, 10, W)), jnp.float32),
+             jnp.asarray(r.normal(0, 1, (2, 4, 5, W)), jnp.float32)]
+    h0 = YOLOXHead(num_classes=3, width=W)
+    h1 = YOLOXHead(num_classes=3, width=W, merged_branches=True)
+    v0 = h0.init(jax.random.key(0), feats, False)
+    v1 = h1.init(jax.random.key(0), feats, False)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+
+    o0 = h0.apply(v0, feats, False)
+    o1 = h1.apply(v0, feats, False)
+    for a, b in zip(o0, o1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    o0, u0 = h0.apply(v0, feats, True, mutable=["batch_stats"])
+    o1, u1 = h1.apply(v0, feats, True, mutable=["batch_stats"])
+    for a, b in zip(o0, o1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), u0, u1)
