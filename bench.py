@@ -387,7 +387,7 @@ def overflow_rate(ev, n_valid, sensor_hw, p64, s_chunk=1024, s_delta=256,
 
 
 def run_train_bench(cfg, batch, events_kind, remat=False, p64=False,
-                    rng_impl="threefry2x32"):
+                    rng_impl="threefry2x32", remat_policy=None):
     """Jitted production SimOTA train step at production batch: ms/step,
     windows/s and MFU (XLA cost-analysis FLOPs over the v5e bf16 peak).
 
@@ -411,7 +411,8 @@ def run_train_bench(cfg, batch, events_kind, remat=False, p64=False,
         sample = space_to_depth_patches(sample)
     state = create_train_state(model, jax.random.key(0), sample, tx)
     step = make_train_step((8, 16, 32), nc, 2.5, half_precision=True,
-                           remat=remat, patchify=p64)
+                           remat=remat, patchify=p64,
+                           remat_policy=remat_policy)
 
     rng = np.random.default_rng(0)
     n_lab = 40
@@ -554,6 +555,10 @@ def main():
                         help="rematerialise the forward in the backward "
                              "(jax.checkpoint): fits larger train batches "
                              "in the 16 GB HBM at ~1 extra forward of cost")
+    parser.add_argument("--remat_policy", default=None,
+                        choices=(None, "dots"),
+                        help="remat policy: 'dots' keeps matmul/conv "
+                             "outputs, recomputing only elementwise chains")
     parser.add_argument("--p64", action="store_true",
                         help="train through the patchified bfm_p64 stem "
                              "(identical math/params; quarter-res 64-minor "
@@ -577,7 +582,8 @@ def main():
     if cfg.get("train"):
         batch = args.batch or cfg["batch"]
         wps = run_train_bench(cfg, batch, args.events, remat=args.remat,
-                              p64=args.p64, rng_impl=args.rng)
+                              p64=args.p64, rng_impl=args.rng,
+                              remat_policy=args.remat_policy)
         metric = cfg["metric"]
         if args.events == "skewed":
             metric += "_skewed"

@@ -232,7 +232,7 @@ def make_memory_eval_step(strides, max_detections=200, half_precision=False):
 
 
 def make_train_step(strides, num_classes, radius, half_precision=False,
-                    remat=False, patchify=False):
+                    remat=False, patchify=False, remat_policy=None):
     """Returns a jitted (state, imgs, labels, dropout_rng) → (state, metrics).
 
     Under a mesh with the batch sharded over `data`, jit/GSPMD adds the
@@ -264,7 +264,13 @@ def make_train_step(strides, num_classes, radius, half_precision=False,
                 rngs={"dropout": dropout_rng})
             return [o.astype(jnp.float32) for o in outs], updates
         if remat:
-            forward = jax.checkpoint(forward)
+            # remat_policy 'dots' keeps every matmul/conv output resident
+            # and recomputes only the elementwise chains in the backward —
+            # a fraction of full remat's recompute on a conv net while
+            # still dropping the big activation copies
+            policy = (jax.checkpoint_policies.checkpoint_dots
+                      if remat_policy == "dots" else None)
+            forward = jax.checkpoint(forward, policy=policy)
 
         def loss_fn(params):
             outs, updates = forward(params)

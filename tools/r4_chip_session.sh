@@ -40,9 +40,11 @@ run enc_sae             python bench.py --config gen1_sae
 run enc_ev              python bench.py --config gen1_ev
 run enc_frame           python bench.py --config gen1_frame
 
-# 6. gen4 inference re-validate + skewed gate
+# 6. gen4 inference re-validate + skewed gate + merged-head A/B
 run gen4_taf            python bench.py --config gen4_taf
 run gen4_skewed         python bench.py --config gen4_taf --events skewed
+run gen4_merged_head    python bench.py --config gen4_taf --merged_head
+run gen1_merged_head    python bench.py --config gen1_taf --merged_head
 
 # 7. kernel check (26 cases on chip)
 run kcheck              python tools/tpu_kernel_check.py
