@@ -566,6 +566,10 @@ def main():
     parser.add_argument("--rng", default="threefry2x32",
                         choices=("threefry2x32", "rbg", "unsafe_rbg"),
                         help="dropout PRNG bit generator for the train step")
+    parser.add_argument("--fused", default="auto", choices=("auto", "on", "off"),
+                        help="override the config's fused/split pipeline "
+                             "choice (single jitted program vs chained "
+                             "encode/detect jits)")
     parser.add_argument("--merged_head", action="store_true",
                         help="run each head level's cls+reg towers as two "
                              "double-width convs (identical math/params; "
@@ -652,7 +656,9 @@ def main():
     else:
         run_step = make_pipeline(model, variables, sensor_hw, input_hw,
                                  cfg.get("scatter", "mxu"),
-                                 fused=cfg.get("fused", True),
+                                 fused=(cfg.get("fused", True)
+                                        if args.fused == "auto"
+                                        else args.fused == "on"),
                                  nms_impl=args.nms,
                                  p64_input=bool(cfg.get("p64_input")))
         state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
