@@ -39,6 +39,16 @@ def parse_args():
                              "derived from jax.devices()")
     parser.add_argument("--max_epoch_to_stop", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    # TPU-native extras (not in the reference's surface)
+    parser.add_argument("--patchified", action="store_true",
+                        help="train/eval through the quarter-res p64 stem "
+                             "(identical math/params; faster TPU layout)")
+    parser.add_argument("--rng_impl", default="threefry2x32",
+                        choices=("threefry2x32", "rbg", "unsafe_rbg"),
+                        help="dropout PRNG bit generator")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialise the forward in the backward "
+                             "(fits bigger batches)")
     return parser.parse_args()
 
 
@@ -57,6 +67,9 @@ def main():
         exp_name=args.exp_name,
         augmentation=args.augmentation,
         seed=args.seed,
+        patchified=args.patchified,
+        rng_impl=args.rng_impl,
+        remat=args.remat,
     )
     if args.max_epoch_to_stop is not None:
         cfg.max_epoch_to_stop = args.max_epoch_to_stop
