@@ -5,7 +5,9 @@
 LOG=/tmp/chip_poll.log
 echo "[chip_poll] start $(date -u +%H:%M:%S)" >> "$LOG"
 while true; do
-  if timeout 120 python -c "import jax; d=jax.devices(); print(d)" >> "$LOG" 2>&1; then
+  if timeout 120 python -c "import jax; d = jax.devices(); \
+assert d and d[0].platform.lower() not in ('cpu', 'host'), d; print(d)" \
+      >> "$LOG" 2>&1; then
     echo "[chip_poll] TPU UP at $(date -u +%H:%M:%S); warming cache via bench.py" >> "$LOG"
     cd /root/repo && timeout 5400 python bench.py >> /tmp/bench_warm_r4.log 2>&1
     echo "[chip_poll] warm bench rc=$? at $(date -u +%H:%M:%S)" >> "$LOG"
