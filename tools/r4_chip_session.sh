@@ -25,11 +25,6 @@ run train_gen1_p64      python bench.py --config gen1_train --p64
 run train_gen1_p64_rbg  python bench.py --config gen1_train --p64 --rng rbg
 run train_gen1_rbg      python bench.py --config gen1_train --rng rbg
 
-# 3. gen4 training with bf16 (+remat at batch 32) — the outage-eaten number
-run train_gen4_p64_remat python bench.py --config gen4_train --p64 --remat
-run train_gen4_p64       python bench.py --config gen4_train --p64 --batch 16
-run profile_gen4         python tools/train_profile.py --config gen4 --quick
-
 # 4. batch-1 serving latency
 run latency_gen1        python bench.py --config gen1_latency
 run latency_gen4        python bench.py --config gen4_latency
@@ -48,5 +43,12 @@ run gen1_merged_head    python bench.py --config gen1_taf --merged_head
 
 # 7. kernel check (26 cases on chip)
 run kcheck              python tools/tpu_kernel_check.py
+
+# 8. LAST: gen4 training (the riskiest cold compile — it crashed the TPU
+# worker in round 3; everything above is already banked if it dies)
+run train_gen4_p64_remat python bench.py --config gen4_train --p64 --remat
+run train_gen4_p64_dots  python bench.py --config gen4_train --p64 --remat --remat_policy dots
+run train_gen4_p64       python bench.py --config gen4_train --p64 --batch 16
+run profile_gen4         python tools/train_profile.py --config gen4 --quick
 
 echo "=== r4 chip session complete ($(date -u +%H:%M:%S)) ==="
