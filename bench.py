@@ -574,15 +574,18 @@ def main():
                         help="run each head level's cls+reg towers as two "
                              "double-width convs (identical math/params; "
                              "MXU layout A/B)")
-    parser.add_argument("--nms", default="fixpoint",
+    parser.add_argument("--nms", default=None,
                         choices=("fixpoint", "sequential"),
                         help="NMS formulation in the timed postprocess "
-                             "(on-chip A/B; identical keep masks)")
+                             "(on-chip A/B; identical keep masks). Default: "
+                             "the config's 'nms' entry, else fixpoint.")
     parser.add_argument("--profile", action="store_true",
                         help="also print a per-stage breakdown (split "
                              "pipeline only) to stderr")
     args = parser.parse_args()
     cfg = CONFIGS[args.config]
+    if args.nms is None:
+        args.nms = cfg.get("nms", "fixpoint")
     if cfg.get("train"):
         batch = args.batch or cfg["batch"]
         wps = run_train_bench(cfg, batch, args.events, remat=args.remat,
