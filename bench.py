@@ -540,6 +540,33 @@ def run_encoder_bench(cfg, batch, events_kind):
     return wps
 
 
+def _require_devices(timeout_s: int = 600):
+    """Bounded jax.devices() probe: during a TPU-worker outage the axon
+    backend can HANG every client indefinitely — fail fast with a clear
+    message instead so the driver records an rc=1, not a timeout."""
+    import threading
+
+    res = {}
+
+    def probe():
+        try:
+            res["d"] = jax.devices()
+        except Exception as e:  # backend init error
+            res["e"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "d" in res:
+        return res["d"]
+    msg = res.get("e", f"jax.devices() unresponsive after {timeout_s}s "
+                       "(TPU worker outage — see tools/chip_poll.sh)")
+    print(f"# TPU unavailable: {msg}", file=sys.stderr)
+    sys.stderr.flush()
+    sys.stdout.flush()
+    _os._exit(1)
+
+
 def main():
     import argparse
 
@@ -586,6 +613,7 @@ def main():
     cfg = CONFIGS[args.config]
     if args.nms is None:
         args.nms = cfg.get("nms", "fixpoint")
+    _require_devices()
     if cfg.get("train"):
         batch = args.batch or cfg["batch"]
         wps = run_train_bench(cfg, batch, args.events, remat=args.remat,
