@@ -117,8 +117,16 @@ K = 8
 STEPS_PER_CALL = 10   # distinct synthetic event batches cycled over
 
 
+def _quant_ctx(quant):
+    """Context manager for the optional int8 serving path: `quant` is
+    (act_scales, weight_table) from models/quantize.py, or None for bf16."""
+    from frlw_evd_tpu.models.quantize import int8_ctx
+
+    return int8_ctx(*(quant or (None, None)))
+
+
 def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas",
-                      folded=False, nms_impl="fixpoint"):
+                      folded=False, nms_impl="fixpoint", quant=None):
     """Patchified-state pipeline: the TAF queue lives at quarter resolution
     with the 2x2 subpixels packed into channels (s-major, 4*2K = 64-channel
     minor → 4x the TPU lane occupancy of the 16-channel layout), the fused
@@ -138,7 +146,8 @@ def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas",
 
     @jax.jit
     def detect(vol):
-        outs = model.apply(variables, vol, False)
+        with _quant_ctx(quant):
+            outs = model.apply(variables, vol, False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, (8, 16, 32))
         dets, keep = postprocess_batch(decoded, max_detections=100,
@@ -155,7 +164,7 @@ def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas",
 
 
 def make_pipeline_packed(model, variables, sensor_hw, input_hw,
-                         scatter="pallas", nms_impl="fixpoint"):
+                         scatter="pallas", nms_impl="fixpoint", quant=None):
     """Packed-state pipeline: the TAF queue lives in the network channel
     order (B, H, W, 2K), so the whole update is elementwise and
     leaky_transform(state) IS the detector input — no reversal/transpose
@@ -178,7 +187,8 @@ def make_pipeline_packed(model, variables, sensor_hw, input_hw,
 
     @jax.jit
     def detect(vol):
-        outs = model.apply(variables, vol, False)
+        with _quant_ctx(quant):
+            outs = model.apply(variables, vol, False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, (8, 16, 32))
         dets, keep = postprocess_batch(decoded, max_detections=100,
@@ -195,7 +205,8 @@ def make_pipeline_packed(model, variables, sensor_hw, input_hw,
 
 
 def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
-                  fused=True, nms_impl="fixpoint", p64_input=False):
+                  fused=True, nms_impl="fixpoint", p64_input=False,
+                  quant=None):
     """fused=True compiles the whole window as one program; fused=False
     chains three jits (encode / transform / detect). Measured on v5e: GEN1
     prefers fused (26.5 vs 28.7 ms), gen4 prefers split (61 vs 66 ms) —
@@ -249,7 +260,8 @@ def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
 
     @jax.jit
     def detect(vol):
-        outs = model.apply(variables, vol, False)
+        with _quant_ctx(quant):
+            outs = model.apply(variables, vol, False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, (8, 16, 32))
         dets, keep = postprocess_batch(decoded, max_detections=100,
@@ -272,7 +284,8 @@ def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
                                 use_sorted=(scatter == "sorted"),
                                 use_mxu=(scatter == "mxu"))
         vol = jax.vmap(_state_to_input)(state).astype(jnp.bfloat16)
-        outs = model.apply(variables, vol, False)
+        with _quant_ctx(quant):
+            outs = model.apply(variables, vol, False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, (8, 16, 32))
         _, keep = postprocess_batch(decoded, max_detections=100,
@@ -606,6 +619,12 @@ def main():
                         help="NMS formulation in the timed postprocess "
                              "(on-chip A/B; identical keep masks). Default: "
                              "the config's 'nms' entry, else fixpoint.")
+    parser.add_argument("--dtype", default="bf16", choices=("bf16", "int8"),
+                        help="serving precision for the detector convs: "
+                             "bf16, or post-training int8 (per-channel "
+                             "weights, calibrated activations — the v5e "
+                             "MXU runs int8 at 2x the bf16 rate). "
+                             "Inference configs only.")
     parser.add_argument("--profile", action="store_true",
                         help="also print a per-stage breakdown (split "
                              "pipeline only) to stderr")
@@ -613,6 +632,8 @@ def main():
     cfg = CONFIGS[args.config]
     if args.nms is None:
         args.nms = cfg.get("nms", "fixpoint")
+    if args.dtype == "int8" and (cfg.get("train") or cfg.get("encoder")):
+        parser.error("--dtype int8 applies to the inference configs only")
     _require_devices()
     if cfg.get("train"):
         batch = args.batch or cfg["batch"]
@@ -665,33 +686,48 @@ def main():
                            jnp.bfloat16)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.key(0), sample, False)
+    # int8 weight codes are computed from the f32 master params (not the
+    # bf16 copies) so they don't inherit a bf16 round-trip
+    f32_params = variables["params"] if args.dtype == "int8" else None
     # inference in bf16 end-to-end: avoids per-layer f32<->bf16 conversions
     variables = jax.tree.map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         variables)
 
     h, w = sensor_hw
+    if args.dtype == "int8" and args.fused == "auto":
+        # calibration reads the encode stage's output volume, and the
+        # quantized detect program differs anyway — use the split pipeline
+        args.fused = "off"
+
+    def build_pipeline(quant=None):
+        if cfg.get("p64"):
+            return make_pipeline_p64(model, variables, sensor_hw,
+                                     cfg.get("scatter", "pallas"),
+                                     folded=bool(cfg.get("folded_stem")),
+                                     nms_impl=args.nms, quant=quant)
+        if cfg.get("packed"):
+            return make_pipeline_packed(model, variables, sensor_hw,
+                                        input_hw,
+                                        cfg.get("scatter", "pallas"),
+                                        nms_impl=args.nms, quant=quant)
+        return make_pipeline(model, variables, sensor_hw, input_hw,
+                             cfg.get("scatter", "mxu"),
+                             fused=(cfg.get("fused", True)
+                                    if args.fused == "auto"
+                                    else args.fused == "on"),
+                             nms_impl=args.nms,
+                             p64_input=bool(cfg.get("p64_input")),
+                             quant=quant)
+
+    run_step = build_pipeline()
     if cfg.get("p64"):
         from frlw_evd_tpu.encode.pallas_update import p64_init_state
 
-        run_step = make_pipeline_p64(model, variables, sensor_hw,
-                                     cfg.get("scatter", "pallas"),
-                                     folded=bool(cfg.get("folded_stem")),
-                                     nms_impl=args.nms)
         state = p64_init_state(BATCH, h, w, K)
     elif cfg.get("packed"):
-        run_step = make_pipeline_packed(model, variables, sensor_hw,
-                                        input_hw, cfg.get("scatter", "pallas"),
-                                        nms_impl=args.nms)
         state = jnp.full((BATCH, h, w, 2 * K), -6000.0, jnp.float32)
     else:
-        run_step = make_pipeline(model, variables, sensor_hw, input_hw,
-                                 cfg.get("scatter", "mxu"),
-                                 fused=(cfg.get("fused", True)
-                                        if args.fused == "auto"
-                                        else args.fused == "on"),
-                                 nms_impl=args.nms,
-                                 p64_input=bool(cfg.get("p64_input")))
         state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
     if args.events == "skewed":
         events, n_valid = synth_events_skewed(rng, STEPS_PER_CALL, BATCH,
@@ -704,6 +740,30 @@ def main():
     else:
         events, n_valid = synth_events(rng, STEPS_PER_CALL, BATCH,
                                        EVENTS_PER_BIN, sensor_hw)
+
+    if args.dtype == "int8":
+        from flax import linen as fnn
+
+        from frlw_evd_tpu.models.quantize import (CalibrationRecorder,
+                                                  build_weight_table)
+        if not hasattr(run_step, "stages"):
+            parser.error("--dtype int8 requires the split pipeline "
+                         "(drop --fused on)")
+        # calibrate activation ranges on the real encode output (eager so
+        # the recorder sees concrete values; a small batch slice suffices —
+        # ranges depend on content, not batch size)
+        rec = CalibrationRecorder()
+        enc = run_step.stages["encode_transform"]
+        for i in range(2):
+            state, vol = enc(state, events[i], n_valid[i])
+            with fnn.intercept_methods(rec.interceptor):
+                model.apply(variables, vol[: min(8, BATCH)], False)
+        scales = rec.scales()
+        table = build_weight_table(f32_params, scales)
+        print(f"# int8: {len(scales)} conv sites quantized "
+              f"(per-channel weights, calibrated activations)",
+              file=sys.stderr)
+        run_step = build_pipeline((scales, table))
 
     # warmup / compile; force a host read — block_until_ready alone is not a
     # reliable fence on this experimental platform
@@ -784,6 +844,8 @@ def main():
     metric = cfg["metric"]
     if args.events == "skewed":
         metric += "_skewed"
+    if args.dtype == "int8":
+        metric += "_int8"
     print(json.dumps({
         "metric": metric,
         "value": round(wps, 1),

@@ -41,6 +41,11 @@ run gen4_skewed         python bench.py --config gen4_taf --events skewed
 run gen4_merged_head    python bench.py --config gen4_taf --merged_head
 run gen1_merged_head    python bench.py --config gen1_taf --merged_head
 
+# 6b. int8 PTQ serving A/B (v5e MXU int8 = 2x bf16 rate)
+run gen1_int8           python bench.py --config gen1_taf --dtype int8
+run gen4_int8           python bench.py --config gen4_taf --dtype int8
+run latency_gen1_int8   python bench.py --config gen1_latency --dtype int8
+
 # 7. kernel check (26 cases on chip)
 run kcheck              python tools/tpu_kernel_check.py
 
