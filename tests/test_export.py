@@ -20,3 +20,22 @@ def test_export_roundtrip(tmp_path):
     assert "roundtrip check ok" in r.stdout
     assert os.path.getsize(out) > 1e6
     assert os.path.exists(out + ".meta.json")
+
+
+def test_export_int8_roundtrip(tmp_path):
+    """--int8 bakes the quantized conv sites into the artifact; the
+    deserialized program must match the live quantized model exactly."""
+    import json
+
+    out = str(tmp_path / "m8.stablehlo")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+         "--out", out, "--img_hw", "64", "96", "--width", "64",
+         "--int8", "--check"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "roundtrip check ok" in r.stdout
+    assert "conv sites quantized" in r.stdout
+    meta = json.load(open(out + ".meta.json"))
+    assert meta["precision"].startswith("int8-ptq")

@@ -33,11 +33,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_serving_fn(cfg, params, batch_stats, batch: int):
-    """The batched serving step: bf16 volume → (dets, keep)."""
+def build_serving_fn(cfg, params, batch_stats, batch: int, quant=None):
+    """The batched serving step: bf16 volume → (dets, keep). `quant` is an
+    optional (act_scales, weight_table) pair from models/quantize.py — the
+    calibrated conv sites then lower to int8 MXU ops in the artifact."""
     from frlw_evd_tpu.models import build_detector
     from frlw_evd_tpu.models.detector import eval_decode
     from frlw_evd_tpu.models.postprocess import postprocess_batch
+    from frlw_evd_tpu.models.quantize import int8_ctx
 
     model = build_detector(cfg.num_classes, family=cfg.family, stem=cfg.stem,
                            act=cfg.act, strides=cfg.strides,
@@ -46,13 +49,14 @@ def build_serving_fn(cfg, params, batch_stats, batch: int):
     shape = (batch, h, w, cfg.input_channels)
 
     def serve(vol):
-        outs = model.apply({"params": params, "batch_stats": batch_stats},
-                           vol.astype(jnp.bfloat16), False)
+        with int8_ctx(*(quant or (None, None))):
+            outs = model.apply({"params": params, "batch_stats": batch_stats},
+                               vol.astype(jnp.bfloat16), False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, cfg.strides)
         return postprocess_batch(decoded, max_detections=100)
 
-    return serve, shape
+    return serve, shape, model
 
 
 def main():
@@ -73,10 +77,22 @@ def main():
     ap.add_argument("--fuse", action="store_true",
                     help="fold BatchNorm into conv kernels before export "
                          "(models/fuse.py — reference fuse_model semantics)")
+    ap.add_argument("--int8", action="store_true",
+                    help="post-training int8 quantization of the MXU-worthy "
+                         "convs (models/quantize.py). Calibration volumes: "
+                         "--calib .npy (N,H,W,C) if given, else synthetic "
+                         "uniform [0,1) — re-export with real volumes for "
+                         "production scales.")
+    ap.add_argument("--calib", default=None,
+                    help="path to a .npy of calibration volumes for --int8")
     # test/size overrides (mini fixtures)
     ap.add_argument("--img_hw", type=int, nargs=2, default=None)
     ap.add_argument("--small", action="store_true",
                     help="shrink the model (CI smoke)")
+    ap.add_argument("--width", type=int, default=0,
+                    help="override trunk/neck channel width (CI smoke; "
+                         "unlike --small keeps channels >= the int8 "
+                         "eligibility floor)")
     args = ap.parse_args()
 
     from frlw_evd_tpu.train.config import make_config
@@ -88,6 +104,8 @@ def main():
         cfg.img_size_override = tuple(args.img_hw)
     if args.small:
         cfg.in_channels = (32, 32, 32)
+    if args.width:
+        cfg.in_channels = (args.width,) * 3
 
     from frlw_evd_tpu.models import build_detector
 
@@ -119,12 +137,41 @@ def main():
 
         params, batch_stats = fuse_conv_bn_params(params, batch_stats)
 
+    f32_params = params  # int8 weight codes come from the f32 masters
     # bake bf16 compute copies (inference dtype)
     params = jax.tree.map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         params)
 
-    serve, shape = build_serving_fn(cfg, params, batch_stats, args.batch)
+    quant = None
+    if args.int8:
+        from frlw_evd_tpu.models.quantize import (build_weight_table,
+                                                  calibrate_int8)
+
+        h, w = cfg.img_size
+        if args.calib:
+            vols = np.load(args.calib)
+            assert vols.ndim == 4 and vols.shape[1:] == (
+                h, w, cfg.input_channels), vols.shape
+            batches = [jnp.asarray(vols[i:i + 4], jnp.float32)
+                       for i in range(0, min(len(vols), 16), 4)]
+        else:
+            crng = np.random.default_rng(7)
+            batches = [jnp.asarray(
+                crng.uniform(0, 1, (4, h, w, cfg.input_channels)),
+                jnp.float32) for _ in range(2)]
+        scales = calibrate_int8(
+            build_detector(cfg.num_classes, family=cfg.family, stem=cfg.stem,
+                           act=cfg.act, strides=cfg.strides,
+                           in_channels=cfg.in_channels, depth=cfg.depth),
+            {"params": params, "batch_stats": batch_stats},
+            [b.astype(jnp.bfloat16) for b in batches])
+        quant = (scales, build_weight_table(f32_params, scales))
+        print(f"int8: {len(scales)} conv sites quantized "
+              f"({'real' if args.calib else 'synthetic'} calibration)")
+
+    serve, shape, _ = build_serving_fn(cfg, params, batch_stats, args.batch,
+                                       quant=quant)
     spec = jax.ShapeDtypeStruct(shape, jnp.float32)
     platforms = [args.platform] if args.platform else None
     exported = jax.export.export(jax.jit(serve),
@@ -138,6 +185,8 @@ def main():
         "outputs": {"dets": "(B, 100, 6) [cx, cy, w, h, cls, score]",
                     "keep": "(B, 100) bool"},
         "exp_type": args.exp_type, "dataset": args.dataset,
+        "precision": ("int8-ptq ({} calibration)".format(
+            "real" if args.calib else "synthetic") if args.int8 else "bf16"),
         "platforms": list(exported.platforms),
         "stablehlo_version": exported.mlir_module_serialization_version
         if hasattr(exported, "mlir_module_serialization_version") else None,
