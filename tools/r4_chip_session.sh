@@ -25,9 +25,11 @@ run train_gen1_p64      python bench.py --config gen1_train --p64
 run train_gen1_p64_rbg  python bench.py --config gen1_train --p64 --rng rbg
 run train_gen1_rbg      python bench.py --config gen1_train --rng rbg
 
-# 4. batch-1 serving latency
+# 4. batch-1 serving latency (+ sustained batch-1 throughput: same pipeline,
+# dispatch-pipelined instead of per-window fenced — the async-consumer mode)
 run latency_gen1        python bench.py --config gen1_latency
 run latency_gen4        python bench.py --config gen4_latency
+run gen1_b1_sustained   python bench.py --config gen1_taf --batch 1
 
 # 5. per-representation encoder throughput
 run enc_eci             python bench.py --config gen1_eci
