@@ -23,15 +23,17 @@ def test_export_roundtrip(tmp_path):
 
 
 def test_export_int8_roundtrip(tmp_path):
-    """--int8 bakes the quantized conv sites into the artifact; the
-    deserialized program must match the live quantized model exactly."""
+    """--fuse --int8 (the production PTQ order: fold BN into the conv
+    kernels, then quantize the folded kernels) bakes the quantized conv
+    sites into the artifact; the deserialized program must match the live
+    quantized model exactly."""
     import json
 
     out = str(tmp_path / "m8.stablehlo")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
          "--out", out, "--img_hw", "64", "96", "--width", "64",
-         "--int8", "--check"],
+         "--fuse", "--int8", "--check"],
         capture_output=True, text=True,
         env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO})
     assert r.returncode == 0, r.stderr[-2000:]
