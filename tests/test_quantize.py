@@ -160,6 +160,33 @@ def test_detector_forward_close(rng):
         assert 1e-4 < rel < 0.04, (key, rel)
 
 
+def test_int8_under_mesh_dp(rng):
+    """The interceptor is a trace-time transform, so it must compose with
+    GSPMD: a batch-sharded quantized forward on a device mesh must equal
+    the single-device quantized forward exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    model, variables = _small_detector(jax.random.key(5))
+    calib = [jnp.asarray(rng.uniform(0, 1, (2, 64, 96, 16)), jnp.float32)]
+    scales = calibrate_int8(model, variables, calib)
+    table = build_weight_table(variables["params"], scales)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 64, 96, 16)), jnp.float32)
+
+    @jax.jit
+    def quant_fwd(v, xx):
+        with int8_ctx(scales, table):
+            return model.apply(v, xx, False)
+
+    base = quant_fwd(variables, x)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("dp",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    sharded = jax.jit(quant_fwd.__wrapped__)(vs, xs)
+    for b, s in zip(base, sharded):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(s))
+
+
 def test_uncalibrated_input_clips_safely(rng):
     """Inputs outside the calibration range saturate (clip) instead of
     wrapping — outputs stay finite and bounded."""
