@@ -400,14 +400,17 @@ def overflow_rate(ev, n_valid, sensor_hw, p64, s_chunk=1024, s_delta=256,
 
 
 def run_train_bench(cfg, batch, events_kind, remat=False, p64=False,
-                    rng_impl="threefry2x32", remat_policy=None):
+                    rng_impl="threefry2x32", remat_policy=None,
+                    merged_head=False):
     """Jitted production SimOTA train step at production batch: ms/step,
     windows/s and MFU (XLA cost-analysis FLOPs over the v5e bf16 peak).
 
     p64=True routes through the patchified bfm_p64 stem (identical param
     tree/math; the step space-to-depths the volume once, so the
     full-resolution 16-channel-minor tensors never exist in fwd or bwd).
-    rng_impl='rbg' uses the TPU hardware bit generator for dropout masks."""
+    rng_impl='rbg' uses the TPU hardware bit generator for dropout masks.
+    merged_head=True runs each head level's cls+reg towers as two
+    double-width convs (identical params/math) in fwd AND bwd."""
     import optax
 
     from frlw_evd_tpu.train.trainer import create_train_state, make_train_step
@@ -415,7 +418,8 @@ def run_train_bench(cfg, batch, events_kind, remat=False, p64=False,
 
     h, w = cfg["input_hw"]
     nc = cfg["num_classes"]
-    model = build_detector(nc, family="aed", stem="bfm_p64" if p64 else "bfm")
+    model = build_detector(nc, family="aed", stem="bfm_p64" if p64 else "bfm",
+                           head_merged=merged_head)
     tx = optax.adam(1e-3)
     sample = jnp.zeros((1, h, w, 2 * K), jnp.float32)
     if p64:
@@ -639,7 +643,8 @@ def main():
         batch = args.batch or cfg["batch"]
         wps = run_train_bench(cfg, batch, args.events, remat=args.remat,
                               p64=args.p64, rng_impl=args.rng,
-                              remat_policy=args.remat_policy)
+                              remat_policy=args.remat_policy,
+                              merged_head=args.merged_head)
         metric = cfg["metric"]
         if args.events == "skewed":
             metric += "_skewed"

@@ -24,6 +24,7 @@ run train_gen1          python bench.py --config gen1_train
 run train_gen1_p64      python bench.py --config gen1_train --p64
 run train_gen1_p64_rbg  python bench.py --config gen1_train --p64 --rng rbg
 run train_gen1_rbg      python bench.py --config gen1_train --rng rbg
+run train_gen1_mh       python bench.py --config gen1_train --p64 --rng rbg --merged_head
 
 # 4. batch-1 serving latency (+ sustained batch-1 throughput: same pipeline,
 # dispatch-pipelined instead of per-window fenced — the async-consumer mode)
