@@ -747,23 +747,20 @@ def main():
                                        EVENTS_PER_BIN, sensor_hw)
 
     if args.dtype == "int8":
-        from flax import linen as fnn
-
-        from frlw_evd_tpu.models.quantize import (CalibrationRecorder,
-                                                  build_weight_table)
+        from frlw_evd_tpu.models.quantize import (build_weight_table,
+                                                  calibrate_int8)
         if not hasattr(run_step, "stages"):
             parser.error("--dtype int8 requires the split pipeline "
                          "(drop --fused on)")
-        # calibrate activation ranges on the real encode output (eager so
-        # the recorder sees concrete values; a small batch slice suffices —
-        # ranges depend on content, not batch size)
-        rec = CalibrationRecorder()
+        # calibrate activation ranges on the real encode output (jitted
+        # recording pass; a small batch slice suffices — ranges depend on
+        # content, not batch size)
         enc = run_step.stages["encode_transform"]
+        vols = []
         for i in range(2):
             state, vol = enc(state, events[i], n_valid[i])
-            with fnn.intercept_methods(rec.interceptor):
-                model.apply(variables, vol[: min(8, BATCH)], False)
-        scales = rec.scales()
+            vols.append(vol[: min(8, BATCH)])
+        scales = calibrate_int8(model, variables, vols)
         table = build_weight_table(f32_params, scales)
         print(f"# int8: {len(scales)} conv sites quantized "
               f"(per-channel weights, calibrated activations)",

@@ -130,39 +130,41 @@ def build_weight_table(params: Dict, scales: Dict[PathKey, float],
     return table
 
 
-class CalibrationRecorder:
-    """Interceptor that records per-site max|activation| over eager runs."""
-
-    def __init__(self, min_channels: int = 64):
-        self.min_channels = min_channels
-        self.amax: Dict[PathKey, float] = {}
-
-    def interceptor(self, next_fun, args, kwargs, context):
-        mod = context.module
-        if _eligible(mod, context.method_name, self.min_channels):
-            key = "/".join(mod.path)
-            x = args[0]
-            m = float(jnp.max(jnp.abs(jnp.asarray(x, jnp.float32))))
-            self.amax[key] = max(self.amax.get(key, 0.0), m)
-        return next_fun(*args, **kwargs)
-
-    def scales(self) -> Dict[PathKey, float]:
-        """Activation scale per site: sx = amax / 127 (symmetric int8)."""
-        return {k: max(v, 1e-12) / 127.0 for k, v in self.amax.items()}
-
-
 def calibrate_int8(model: nn.Module, variables, batches: Sequence,
                    *, min_channels: int = 64,
                    apply_kwargs: Optional[dict] = None) -> Dict[PathKey, float]:
-    """Eagerly run `model.apply(variables, batch, False)` over calibration
-    batches, recording activation ranges at every quantizable conv. Eager
-    (unjitted) on purpose: the recorder reads concrete values."""
-    rec = CalibrationRecorder(min_channels)
+    """Run `model.apply(variables, batch, False)` over calibration batches,
+    recording activation ranges at every quantizable conv.
+
+    The recording pass is JITTED: the interceptor captures each site's
+    max|x| as a traced value and returns the dict as the jit output — one
+    compile per distinct batch shape instead of eager op-by-op dispatch
+    (which on a remote-compile TPU backend costs minutes per pass)."""
     kw = apply_kwargs or {}
-    with nn.intercept_methods(rec.interceptor):
-        for b in batches:
-            model.apply(variables, b, False, **kw)
-    return rec.scales()
+
+    def one_batch(vs, b):
+        local: Dict[PathKey, Any] = {}
+
+        def interceptor(next_fun, args, kwargs, context):
+            mod = context.module
+            if _eligible(mod, context.method_name, min_channels):
+                key = "/".join(mod.path)
+                m = jnp.max(jnp.abs(jnp.asarray(args[0], jnp.float32)))
+                local[key] = (jnp.maximum(local[key], m)
+                              if key in local else m)
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
+            model.apply(vs, b, False, **kw)
+        return local
+
+    fn = jax.jit(one_batch)
+    amax: Dict[PathKey, float] = {}
+    for b in batches:
+        d = jax.device_get(fn(variables, b))
+        for k, v in d.items():
+            amax[k] = max(amax.get(k, 0.0), float(v))
+    return {k: max(v, 1e-12) / 127.0 for k, v in amax.items()}
 
 
 def make_int8_interceptor(scales: Dict[PathKey, float],

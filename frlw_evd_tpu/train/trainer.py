@@ -289,10 +289,13 @@ def make_train_step(strides, num_classes, radius, half_precision=False,
 
 
 def make_eval_step(strides, max_detections=200, half_precision=False,
-                   patchify=False):
+                   patchify=False, quant=None):
     """Returns a jitted (state, imgs) → (dets, keep) inference step
-    (decode + confidence gate + NMS fused on device)."""
+    (decode + confidence gate + NMS fused on device). `quant` is an
+    optional (act_scales, weight_table) pair from models/quantize.py —
+    the calibrated conv sites then serve through int8 MXU ops."""
     from ..models.blocks import space_to_depth_patches
+    from ..models.quantize import int8_ctx
 
     @jax.jit
     def eval_step(state: TrainState, imgs):
@@ -300,10 +303,11 @@ def make_eval_step(strides, max_detections=200, half_precision=False,
             imgs = imgs.astype(jnp.bfloat16)
         if patchify:
             imgs = space_to_depth_patches(imgs)
-        outs = state.apply_fn(
-            {"params": _compute_params(state.params, half_precision),
-             "batch_stats": state.batch_stats},
-            imgs, False)
+        with int8_ctx(*(quant or (None, None))):
+            outs = state.apply_fn(
+                {"params": _compute_params(state.params, half_precision),
+                 "batch_stats": state.batch_stats},
+                imgs, False)
         outs = [o.astype(jnp.float32) for o in outs]
         decoded = eval_decode(outs, strides)
         return postprocess_batch(decoded, max_detections=max_detections)

@@ -23,9 +23,8 @@ def test_int8_pipeline_wiring(rng):
     import jax
 
     from frlw_evd_tpu.models import build_detector
-    from frlw_evd_tpu.models.quantize import (CalibrationRecorder,
-                                              build_weight_table)
-    from flax import linen as fnn
+    from frlw_evd_tpu.models.quantize import (build_weight_table,
+                                              calibrate_int8)
 
     h, w = 64, 96
     B, E = 2, 512
@@ -45,14 +44,13 @@ def test_int8_pipeline_wiring(rng):
     ev, nv = bench.synth_events(np.random.default_rng(0), 2, B, E, (h, w))
     s0 = jnp.full((B, h, w, 2, bench.K), -6000.0, jnp.float32)
 
-    # calibrate exactly as bench.main does
-    rec = CalibrationRecorder()
+    # calibrate exactly as bench.main does (jitted recording pass)
     state = jnp.copy(s0)
+    vols = []
     for i in range(2):
         state, vol = base.stages["encode_transform"](state, ev[i], nv[i])
-        with fnn.intercept_methods(rec.interceptor):
-            model.apply(variables, vol, False)
-    scales = rec.scales()
+        vols.append(vol)
+    scales = calibrate_int8(model, variables, vols)
     assert scales, "no conv sites calibrated"
     table = build_weight_table(f32_params, scales)
 

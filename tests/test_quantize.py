@@ -187,6 +187,32 @@ def test_int8_under_mesh_dp(rng):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(s))
 
 
+def test_eval_step_quant(rng):
+    """make_eval_step(quant=...): the trainer's serving step accepts the
+    (scales, table) pair; an empty table reproduces the unquantized step
+    bit-exactly and a calibrated one still yields finite detections."""
+    import optax
+
+    from frlw_evd_tpu.train.trainer import create_train_state, make_eval_step
+
+    model, variables = _small_detector(jax.random.key(6))
+    state = create_train_state(model, jax.random.key(7),
+                               jnp.zeros((1, 64, 96, 16), jnp.float32),
+                               optax.adam(1e-3))
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 96, 16)), jnp.float32)
+    scales = calibrate_int8(model, {"params": state.params,
+                                    "batch_stats": state.batch_stats}, [x])
+    table = build_weight_table(state.params, scales)
+
+    base = make_eval_step((8, 16, 32))(state, x)
+    noop = make_eval_step((8, 16, 32), quant=({}, {}))(state, x)
+    for a, b in zip(base, noop):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    dets, keep = make_eval_step((8, 16, 32), quant=(scales, table))(state, x)
+    assert bool(jnp.isfinite(dets).all())
+
+
 def test_uncalibrated_input_clips_safely(rng):
     """Inputs outside the calibration range saturate (clip) instead of
     wrapping — outputs stay finite and bounded."""

@@ -35,6 +35,11 @@ def main():
     parser.add_argument("-ann_per_stream", type=int, default=6)
     parser.add_argument("-eval_every", type=int, default=5)
     parser.add_argument("-no_augment", action="store_true")
+    parser.add_argument("-int8_eval", action="store_true",
+                        help="after training, re-evaluate the trained model "
+                             "through the post-training int8 serving path "
+                             "(models/quantize.py) and report map_int8 — "
+                             "the PTQ accuracy gate on a TRAINED model")
     args = parser.parse_args()
 
     from fixtures import INPUT_HW, SENSOR_HW, build_mini_gen1
@@ -94,14 +99,65 @@ def main():
         stats = t.eval_epoch(ev)
         print(f"# epoch {epoch}: loss {losses['total_loss']:.3f} "
               f"mAP {stats[0]:.3f} AP50 {stats[1]:.3f}", file=sys.stderr)
+        final_stats = stats
         if stats[0] > best["map"]:
             best = {"map": float(stats[0]), "ap50": float(stats[1]),
                     "epoch": epoch}
-    print(json.dumps({"metric": "synthetic_learnability_ap50",
-                      "value": round(best["ap50"], 4),
-                      "map": round(best["map"], 4),
-                      "best_epoch": best["epoch"],
-                      "streams": args.streams, "epochs": args.epochs}))
+    result = {"metric": "synthetic_learnability_ap50",
+              "value": round(best["ap50"], 4),
+              "map": round(best["map"], 4),
+              "best_epoch": best["epoch"],
+              "streams": args.streams, "epochs": args.epochs}
+
+    if args.int8_eval:
+        # PTQ accuracy gate on the TRAINED weights (final epoch's state; the
+        # strongest accuracy evidence available without the real dataset):
+        # calibrate on val batches exactly as eval_step preprocesses them,
+        # quantize from the f32 masters, re-run the full COCO evaluation.
+        import jax.numpy as jnp
+
+        from frlw_evd_tpu.models.quantize import (build_weight_table,
+                                                  calibrate_int8)
+        from frlw_evd_tpu.train.trainer import (_compute_params,
+                                                make_eval_step)
+
+        eval_state = (t.state.replace(params=t.ema_params)
+                      if t.ema_params is not None else t.state)
+        xs = []
+        for i, (imgs, _, _, _) in enumerate(t.val_loader):
+            x = jnp.asarray(imgs)
+            if cfg.half_precision:
+                x = x.astype(jnp.bfloat16)
+            if cfg.patchified:
+                from frlw_evd_tpu.models.blocks import space_to_depth_patches
+
+                x = space_to_depth_patches(x)
+            xs.append(x)
+            if i >= 1:
+                break
+        p = _compute_params(eval_state.params, cfg.half_precision)
+        scales = calibrate_int8(
+            t.model, {"params": p, "batch_stats": eval_state.batch_stats}, xs)
+        table = build_weight_table(eval_state.params, scales)
+        print(f"# int8 eval: {len(scales)} conv sites quantized",
+              file=sys.stderr)
+        t.eval_step = make_eval_step(cfg.strides,
+                                     half_precision=cfg.half_precision,
+                                     patchify=cfg.patchified,
+                                     quant=(scales, table))
+        ev = t.make_evaluator()
+        ev.filter_boxes = lambda b: filter_boxes(b, 0, 0, 0, 0)
+        stats8 = t.eval_epoch(ev)
+        print(f"# int8 eval: mAP {stats8[0]:.3f} AP50 {stats8[1]:.3f}",
+              file=sys.stderr)
+        # the f32 number from the SAME (final-epoch) weights, so the int8
+        # delta is apples-to-apples even when an earlier epoch was "best"
+        result["map_f32_final"] = round(float(final_stats[0]), 4)
+        result["ap50_f32_final"] = round(float(final_stats[1]), 4)
+        result["map_int8"] = round(float(stats8[0]), 4)
+        result["ap50_int8"] = round(float(stats8[1]), 4)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

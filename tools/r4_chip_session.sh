@@ -52,6 +52,10 @@ run latency_gen1_int8   python bench.py --config gen1_latency --dtype int8
 # 7. kernel check (26 cases on chip)
 run kcheck              python tools/tpu_kernel_check.py
 
+# 7b. PTQ accuracy gate on TRAINED weights: train the synthetic-learnability
+# model to high AP50, then re-evaluate it through the int8 serving path
+run learnability_int8   python tools/learnability.py -streams 20 -epochs 60 -int8_eval
+
 # 8. LAST: gen4 training (the riskiest cold compile — it crashed the TPU
 # worker in round 3; everything above is already banked if it dies)
 run train_gen4_p64_remat python bench.py --config gen4_train --p64 --remat
