@@ -19,7 +19,9 @@ Only "MXU-worthy" sites are quantized: plain convs (groups=1, no dilation)
 with ≥ `min_channels` in AND out channels. That automatically keeps the
 prediction heads (out ≤ num_classes+5), depthwise convs, and the narrow
 stem mixing convs in bf16, where accuracy is most sensitive and int8 gains
-nothing.
+nothing. Merged-branch head towers (heads.py _merged_towers) call lax.conv
+directly and therefore also stay bf16 — compose --dtype int8 with the
+canonical head (int8 already makes the separate towers MXU-efficient).
 
 Accuracy is validated structurally in tests/test_quantize.py (quantized
 head maps stay within a few percent relative L2 of the bf16 forward, and
@@ -36,7 +38,6 @@ from typing import Any, Dict, Iterator, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 PathKey = str  # "/".join(module.path)

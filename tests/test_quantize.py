@@ -10,7 +10,6 @@ detector forward to the bf16/f32 forward.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from flax import linen as nn
 
 from frlw_evd_tpu.models import build_detector
