@@ -25,6 +25,7 @@ run train_gen1_p64      python bench.py --config gen1_train --p64
 run train_gen1_p64_rbg  python bench.py --config gen1_train --p64 --rng rbg
 run train_gen1_rbg      python bench.py --config gen1_train --rng rbg
 run train_gen1_mh       python bench.py --config gen1_train --p64 --rng rbg --merged_head
+run train_gen1_b128     python bench.py --config gen1_train --p64 --rng rbg --batch 128 --remat --remat_policy dots
 
 # 4. batch-1 serving latency (+ sustained batch-1 throughput: same pipeline,
 # dispatch-pipelined instead of per-window fenced — the async-consumer mode)
@@ -57,10 +58,12 @@ run kcheck              python tools/tpu_kernel_check.py
 run learnability_int8   python tools/learnability.py -streams 20 -epochs 60 -int8_eval
 
 # 8. LAST: gen4 training (the riskiest cold compile — it crashed the TPU
-# worker in round 3; everything above is already banked if it dies)
-run train_gen4_p64_remat python bench.py --config gen4_train --p64 --remat
-run train_gen4_p64_dots  python bench.py --config gen4_train --p64 --remat --remat_policy dots
-run train_gen4_p64       python bench.py --config gen4_train --p64 --batch 16
+# worker in round 3; everything above is already banked if it dies).
+# rbg first: dropout mask generation is the projected top cost.
+run train_gen4_p64_remat python bench.py --config gen4_train --p64 --remat --rng rbg
+run train_gen4_p64_dots  python bench.py --config gen4_train --p64 --remat --remat_policy dots --rng rbg
+run train_gen4_threefry  python bench.py --config gen4_train --p64 --remat --rng threefry2x32
+run train_gen4_p64       python bench.py --config gen4_train --p64 --batch 16 --rng rbg
 run profile_gen4         python tools/train_profile.py --config gen4 --quick
 
 echo "=== r4 chip session complete ($(date -u +%H:%M:%S)) ==="
