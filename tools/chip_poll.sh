@@ -14,6 +14,12 @@ assert d and d[0].platform.lower() not in ('cpu', 'host'), d; print(d)" \
       >> "$LOG" 2>&1; then
     echo "[chip_poll] TPU UP at $(date -u +%H:%M:%S); running r4_priority" >> "$LOG"
     touch /tmp/chip_up
+    # the fallback CPU learnability trainer (1-core box) must not contend
+    # with timed benches — kill it before any measurement starts
+    if [ -f /tmp/learn_cpu.pid ]; then
+      kill "$(cat /tmp/learn_cpu.pid)" 2>/dev/null
+      echo "[chip_poll] killed CPU learnability run" >> "$LOG"
+    fi
     cd /root/repo && bash tools/r4_priority.sh >> /tmp/r4_priority.log 2>&1
     echo "[chip_poll] priority rc=$? at $(date -u +%H:%M:%S); running full session" >> "$LOG"
     cd /root/repo && bash tools/r4_chip_session.sh >> /tmp/r4_session.log 2>&1
