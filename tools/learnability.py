@@ -35,6 +35,10 @@ def main():
     parser.add_argument("-ann_per_stream", type=int, default=6)
     parser.add_argument("-eval_every", type=int, default=5)
     parser.add_argument("-no_augment", action="store_true")
+    parser.add_argument("-rng", default="threefry2x32",
+                        choices=("threefry2x32", "rbg", "unsafe_rbg"),
+                        help="dropout PRNG bit generator (convergence "
+                             "equivalence evidence for the rbg train lever)")
     parser.add_argument("-int8_eval", action="store_true",
                         help="after training, re-evaluate the trained model "
                              "through the post-training int8 serving path "
@@ -79,6 +83,7 @@ def main():
         sensor_hw_override=SENSOR_HW,
         log_path=os.path.join(args.out, "log") + "/",
         exp_name="learnability",
+        rng_impl=args.rng,
     )
     # init_lr = base_lr_per_64/64*batch (linear law); retarget via base
     cfg.base_lr_per_64 = args.lr * 64.0 / args.batch
@@ -90,14 +95,15 @@ def main():
     best = {"map": -1.0, "ap50": -1.0, "epoch": -1}
     for epoch in range(args.epochs):
         losses = t.train_epoch()
+        # streams*windows < batch -> zero train steps -> empty losses dict
+        loss = losses.get("total_loss", float("nan"))
         if (epoch + 1) % args.eval_every and epoch != args.epochs - 1:
-            print(f"# epoch {epoch}: loss {losses['total_loss']:.3f}",
-                  file=sys.stderr)
+            print(f"# epoch {epoch}: loss {loss:.3f}", file=sys.stderr)
             continue
         ev = t.make_evaluator()
         ev.filter_boxes = lambda b: filter_boxes(b, 0, 0, 0, 0)
         stats = t.eval_epoch(ev)
-        print(f"# epoch {epoch}: loss {losses['total_loss']:.3f} "
+        print(f"# epoch {epoch}: loss {loss:.3f} "
               f"mAP {stats[0]:.3f} AP50 {stats[1]:.3f}", file=sys.stderr)
         final_stats = stats
         if stats[0] > best["map"]:
