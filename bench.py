@@ -584,7 +584,7 @@ def _require_devices(timeout_s: int = 600):
     _os._exit(1)
 
 
-def main():
+def make_parser():
     import argparse
 
     parser = argparse.ArgumentParser()
@@ -632,13 +632,19 @@ def main():
     parser.add_argument("--profile", action="store_true",
                         help="also print a per-stage breakdown (split "
                              "pipeline only) to stderr")
-    args = parser.parse_args()
+    return parser
+
+
+def run_config(args):
+    """Run one benchmark config; returns the result dict that main() prints
+    as the driver JSON line. `args` is the parsed namespace from
+    make_parser() (the warm-process session driver constructs it directly
+    to run many configs in one process — tools/r5_session.py)."""
     cfg = CONFIGS[args.config]
     if args.nms is None:
         args.nms = cfg.get("nms", "fixpoint")
     if args.dtype == "int8" and (cfg.get("train") or cfg.get("encoder")):
-        parser.error("--dtype int8 applies to the inference configs only")
-    _require_devices()
+        raise SystemExit("--dtype int8 applies to the inference configs only")
     if cfg.get("train"):
         batch = args.batch or cfg["batch"]
         wps = run_train_bench(cfg, batch, args.events, remat=args.remat,
@@ -648,26 +654,24 @@ def main():
         metric = cfg["metric"]
         if args.events == "skewed":
             metric += "_skewed"
-        print(json.dumps({
+        return {
             "metric": metric,
             "value": round(wps, 1),
             "unit": "windows/s/chip",
             "vs_baseline": round(wps / 100.0, 2),
-        }))
-        return
+        }
     if cfg.get("encoder"):
         batch = args.batch or cfg["batch"]
         wps = run_encoder_bench(cfg, batch, args.events)
         metric = cfg["metric"]
         if args.events == "skewed":
             metric += "_skewed"
-        print(json.dumps({
+        return {
             "metric": metric,
             "value": round(wps, 1),
             "unit": "windows/s/chip",
             "vs_baseline": round(wps / 100.0, 2),
-        }))
-        return
+        }
     sensor_hw, input_hw = cfg["sensor_hw"], cfg["input_hw"]
     BATCH, EVENTS_PER_BIN = cfg["batch"], cfg["events_per_bin"]
     if args.batch:
@@ -750,8 +754,8 @@ def main():
         from frlw_evd_tpu.models.quantize import (build_weight_table,
                                                   calibrate_int8)
         if not hasattr(run_step, "stages"):
-            parser.error("--dtype int8 requires the split pipeline "
-                         "(drop --fused on)")
+            raise SystemExit("--dtype int8 requires the split pipeline "
+                             "(drop --fused on)")
         # calibrate activation ranges on the real encode output (jitted
         # recording pass; a small batch slice suffices — ranges depend on
         # content, not batch size)
@@ -815,13 +819,14 @@ def main():
         metric = cfg["metric"]
         if args.events == "skewed":
             metric += "_skewed"
-        print(json.dumps({
+        if args.dtype == "int8":
+            metric += "_int8"
+        return {
             "metric": metric,
             "value": round(ms, 3),
             "unit": "ms/window@batch1",
             "vs_baseline": round(10.0 / ms, 2),
-        }))
-        return
+        }
 
     n_steps = 50
     t0 = time.time()
@@ -848,12 +853,20 @@ def main():
         metric += "_skewed"
     if args.dtype == "int8":
         metric += "_int8"
-    print(json.dumps({
+    if args.nms == "sequential":
+        metric += "_seqnms"
+    return {
         "metric": metric,
         "value": round(wps, 1),
         "unit": "windows/s/chip",
         "vs_baseline": round(wps / 100.0, 2),
-    }))
+    }
+
+
+def main():
+    args = make_parser().parse_args()
+    _require_devices()
+    print(json.dumps(run_config(args)))
 
 
 if __name__ == "__main__":

@@ -184,6 +184,67 @@ def _sorted_partials(idx_s, t_s, n_hi, cols_fn, delta, chunk):
     return dense[:n_hi], overflow
 
 
+@partial(jax.jit, static_argnames=("size",))
+def segment_last_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
+                        valid: jnp.ndarray, size: int):
+    """Per-cell value of the LAST valid event in stream order — the
+    `index_put_` semantics of the reference's SAE scatter
+    (generate_surfaceofactiveevents.py:49) — with no serial scatter.
+
+    idx/tvals/valid: (B, E). Returns (cnt, last) each (B, size) f32; `last`
+    is meaningful only where cnt > 0.
+
+    Formulation: stable-sort events by cell index carrying the value, so
+    each cell's events form a contiguous segment whose END holds the last
+    write; per-cell counts ride the banded local-one-hot MXU contraction
+    (`_sorted_partials`); an inclusive cumsum of the counts then gives every
+    segment's end position, and one gather pulls the last value per cell.
+    Cost = sort + the ECI count scatter + cumsum + gather — no O(E) serial
+    loop, unlike `jnp.ndarray.at[].max/set` which XLA serialises on TPU.
+    """
+    B, E = idx.shape
+    n_hi = (size + LANES - 1) // LANES
+    sentinel = n_hi * LANES
+    delta, chunk = SORT_DELTA, SORT_CHUNK
+    idx = jnp.where(valid & (idx >= 0) & (idx < size), idx,
+                    jnp.int32(sentinel))
+    n_pad = (-E) % chunk
+    if n_pad:
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad)), constant_values=sentinel)
+        tvals = jnp.pad(tvals, ((0, 0), (0, n_pad)))
+    # lax.sort is stable: equal cells keep stream order, so the segment end
+    # is the latest write even if timestamps are not monotone
+    idx_s, t_s = jax.lax.sort((idx, tvals), num_keys=1, dimension=1)
+
+    def cols_fn(tc):
+        return (jnp.ones_like(tc),)
+
+    dense, overflow = jax.vmap(
+        lambda i, t: _sorted_partials(i, t, n_hi, cols_fn, delta, chunk)
+    )(idx_s, t_s)
+
+    def add_overflow(d):
+        oob = jnp.where(overflow, idx_s, jnp.int32(sentinel))
+        hi_o = oob // LANES
+        lo_o = oob % LANES
+
+        def one(dd, h, l):
+            out = dd.reshape(n_hi, LANES)
+            out = out.at[h, l].add(1.0, mode="drop")
+            return out.reshape(n_hi, LANES)
+
+        return jax.vmap(one)(d, hi_o, lo_o)
+
+    dense = jax.lax.cond(jnp.any(overflow), add_overflow, lambda d: d, dense)
+    cnt = dense.reshape(B, -1)[:, :size]
+    # counts are exact integers in f32 (0/1 products, f32 accumulate);
+    # inclusive cumsum of them stays exact for E << 2^24
+    end = jnp.cumsum(cnt, axis=1).astype(jnp.int32) - 1
+    pos = jnp.clip(end, 0, idx_s.shape[1] - 1)
+    last = jnp.take_along_axis(t_s, pos, axis=1)
+    return cnt, last
+
+
 @partial(jax.jit, static_argnames=("size", "precise"))
 def scatter_cnt_tsum_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
                             valid: jnp.ndarray, size: int,

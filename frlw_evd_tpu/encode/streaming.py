@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .mxu_scatter import (scatter_add_mxu, scatter_cnt_tsum_mxu,
-                          scatter_cnt_tsum_sorted)
+                          scatter_cnt_tsum_sorted, segment_last_sorted)
 
 
 # ---------------------------------------------------------------------------
@@ -128,7 +128,10 @@ def event_frame_stream(xytp, n_valid, state, *, height: int, width: int):
     idx = jnp.where(valid, y * width + x, jnp.int32(2**30))
 
     def one(i):
-        img = jnp.zeros(height * width, jnp.float32).at[i].add(1.0, mode="drop")
+        # occupancy histogram on the MXU one-hot path — `.at[].add` lowers
+        # to XLA's serialised per-update scatter loop on TPU
+        img = scatter_add_mxu(i, jnp.ones_like(i, jnp.float32),
+                              height * width)
         return jnp.where(img > 0, 255.0, 0.0).reshape(height, width)
 
     img = jax.vmap(one)(idx)
@@ -334,14 +337,35 @@ def taf_stream_step_folded(state_f, xytp, n_valid, any_events=None, *,
 @partial(jax.jit, static_argnames=("height", "width"))
 def sae_stream(xytp, n_valid, memory, now, *, height: int, width: int,
                lamdas=(0.00001, 0.0000025, 0.000001)):
-    """Batched decayed last-timestamp surface with memory carry."""
-    from .sae import encode_sae
+    """Batched decayed last-timestamp surface with memory carry.
 
-    B = xytp.shape[0]
+    The per-pixel-per-polarity last-event timestamp is computed with
+    `segment_last_sorted` (sort + MXU count scatter + cumsum + gather) —
+    exact `index_put_` last-write semantics (reference
+    generate_surfaceofactiveevents.py:49) with no XLA serial scatter; the
+    `.at[].max` formulation measured 702.5 w/s on v5e where the count-image
+    scatter ran 3561 (log/round4), because XLA lowers scatter-max to a
+    per-update loop.
+    """
+    B, E = xytp.shape[:2]
     if memory is None:
         memory = jnp.full((B, height, width, 2), now - 5_000_000.0,
                           jnp.float32)
-    fn = partial(encode_sae, height=height, width=width, lamdas=lamdas)
-    out, memory = jax.vmap(fn, in_axes=(0, 0, 0, None))(
-        xytp, n_valid, memory, now)
-    return out, memory
+    x = xytp[..., 0].astype(jnp.int32)
+    y = xytp[..., 1].astype(jnp.int32)
+    t = xytp[..., 2]
+    p = xytp[..., 3].astype(jnp.int32)
+    valid = ((jnp.arange(E)[None, :] < n_valid[:, None])
+             & (x < width) & (y < height))
+    idx = (y * width + x) * 2 + p
+    cnt, t_last = segment_last_sorted(idx, t, valid, height * width * 2)
+    t_img = jnp.where(cnt > 0, t_last, -jnp.inf).reshape(
+        B, height, width, 2)
+    # monotone max-merge with the running memory (reference :52); cells with
+    # no events this window keep the memory value
+    t_img = jnp.maximum(t_img, memory)
+    new_memory = t_img
+    dt = t_img - now
+    ecd = jnp.concatenate([jnp.exp(jnp.float32(lam) * dt) for lam in lamdas],
+                          axis=-1)  # (B, H, W, n_lam*2), c = 2*lam + p
+    return ecd * 255.0, new_memory

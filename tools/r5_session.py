@@ -1,0 +1,219 @@
+"""Round-5 warm-process chip measurement session.
+
+Round 4 lost ~13 of 18 planned measurement rows to session mechanics: one
+fresh python process per config paid a 5-12 min cold XLA compile through the
+single-core remote-compile tunnel, timeouts killed processes mid-compile,
+and the `tee` pipe masked the failures as rc=0 (VERDICT r4 weak #2). This
+driver fixes all three by construction:
+
+  * ONE python process runs the whole matrix — the backend initialises once
+    and every re-used program (fences, shared stages) compiles once;
+  * every completed row is appended to log/round5/results.jsonl IMMEDIATELY
+    (fsync'd), so a crash or budget stop banks all prior rows;
+  * a failed row records its exception and the session moves on — there is
+    no rc to mask, and a row with no metric line cannot be mistaken for a
+    success (absent from results.jsonl means it did not complete).
+
+Usage:
+  python tools/r5_session.py --set gen1        # encoder sweep + train levers
+  python tools/r5_session.py --set gen4        # the riskier 1 Mpx configs
+  python tools/r5_session.py --only enc_sae,train_gen1_p64
+  python tools/r5_session.py --budget 7200     # stop starting rows after 2 h
+
+Rows measure through bench.run_config (the same code path the end-of-round
+driver runs), so a banked row and a driver row are the same number.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "log", "round5", "results.jsonl")
+
+
+def bank(row: dict) -> None:
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(row) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def bench_row(name: str, **overrides):
+    """Returns a thunk running bench.run_config with CLI-equivalent args."""
+    def run():
+        import bench
+
+        argv = []
+        for k, v in overrides.items():
+            if isinstance(v, bool):
+                if v:
+                    argv.append(f"--{k}")
+            else:
+                argv += [f"--{k}", str(v)]
+        args = bench.make_parser().parse_args(argv)
+        return bench.run_config(args)
+
+    return run
+
+
+def profile_row(config: str, quick: bool = False):
+    """tools/train_profile.py decomposition, in-process; its per-variant
+    lines go to the session log and the full-step rows are banked."""
+    def run():
+        import contextlib
+        import io
+
+        from tools import train_profile
+
+        argv = ["train_profile", "--config", config] + (
+            ["--quick"] if quick else [])
+        old = sys.argv
+        buf = io.StringIO()
+
+        class Tee(io.TextIOBase):
+            def write(self, s):
+                buf.write(s)
+                sys.stderr.write(s)
+                return len(s)
+
+        try:
+            sys.argv = argv
+            with contextlib.redirect_stdout(Tee()):
+                train_profile.main()
+        finally:
+            sys.argv = old
+        return {"metric": f"train_profile_{config}", "value": None,
+                "unit": "decomposition", "lines": buf.getvalue().splitlines()}
+
+    return run
+
+
+# The round-5 matrix, priority-ordered per VERDICT r4 "Next round: do this".
+# est = rough wall estimate (s) incl. compile, used only for budget skips.
+MATRIX = {
+    "gen1": [
+        # 1. encoder sweep completion (VERDICT #4) — SAE rides the new
+        #    segment-last sorted path this round; EV + frame never measured
+        ("enc_sae",   900, bench_row("enc_sae", config="gen1_sae")),
+        ("enc_ev",    900, bench_row("enc_ev", config="gen1_ev")),
+        ("enc_frame", 900, bench_row("enc_frame", config="gen1_frame")),
+        ("enc_eci",   600, bench_row("enc_eci", config="gen1_eci")),
+        # 2. the training-lever decomposition (VERDICT #1 — the round-3/4
+        #    #1 ask): canonical vs p64 x threefry vs rbg + fwd-only +
+        #    assignment + dropout, all in this one process
+        ("train_profile_gen1", 3600, profile_row("gen1")),
+        # 3. lever combos the profiler does not cover
+        ("train_gen1_mh", 1200, bench_row(
+            "train_gen1_mh", config="gen1_train", p64=True, rng="rbg",
+            merged_head=True)),
+        ("train_gen1_b128", 1200, bench_row(
+            "train_gen1_b128", config="gen1_train", p64=True, rng="rbg",
+            batch=128, remat=True, remat_policy="dots")),
+        # 4. inference re-validation + the queued A/Bs (VERDICT #5)
+        ("gen1_taf",     900, bench_row("gen1_taf", config="gen1_taf")),
+        ("gen1_nms_seq", 900, bench_row("gen1_nms_seq", config="gen1_taf",
+                                        nms="sequential")),
+        ("gen1_int8",    900, bench_row("gen1_int8", config="gen1_taf",
+                                        dtype="int8")),
+        ("gen1_skewed",  900, bench_row("gen1_skewed", config="gen1_taf",
+                                        events="skewed")),
+        # 5. batch-1 serving latency + int8 variant (VERDICT #6)
+        ("latency_gen1",      900, bench_row("latency_gen1",
+                                             config="gen1_latency")),
+        ("latency_gen1_int8", 900, bench_row("latency_gen1_int8",
+                                             config="gen1_latency",
+                                             dtype="int8")),
+    ],
+    "gen4": [
+        # gen4 training bf16 at batch 16 (VERDICT #3 — the number two
+        # outages ate). The step is mixed-precision by construction.
+        ("train_gen4_b16", 2400, bench_row(
+            "train_gen4_b16", config="gen4_train", batch=16, p64=True,
+            rng="rbg")),
+        ("gen4_taf",    1200, bench_row("gen4_taf", config="gen4_taf")),
+        ("gen4_int8",   1200, bench_row("gen4_int8", config="gen4_taf",
+                                        dtype="int8")),
+        ("gen4_skewed", 1200, bench_row("gen4_skewed", config="gen4_taf",
+                                        events="skewed")),
+        ("latency_gen4", 900, bench_row("latency_gen4",
+                                        config="gen4_latency")),
+        ("train_profile_gen4", 2400, profile_row("gen4", quick=True)),
+    ],
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", default="gen1", choices=sorted(MATRIX))
+    ap.add_argument("--only", default="",
+                    help="comma-separated row names to run (subset)")
+    ap.add_argument("--budget", type=int, default=0,
+                    help="wall seconds; stop STARTING rows when the next "
+                         "row's estimate would exceed it (0 = no limit)")
+    args = ap.parse_args()
+
+    rows = MATRIX[args.set]
+    if args.only:
+        keep = set(args.only.split(","))
+        rows = [r for r in rows if r[0] in keep]
+        missing = keep - {r[0] for r in rows}
+        if missing:
+            ap.error(f"unknown rows: {sorted(missing)}")
+
+    print(f"=== r5 session: set={args.set} rows={[r[0] for r in rows]} "
+          f"({time.strftime('%H:%M:%S', time.gmtime())}Z)", flush=True)
+
+    import bench
+
+    bench._require_devices()
+    t_session = time.time()
+    done = failed = skipped = 0
+    for name, est, thunk in rows:
+        elapsed = time.time() - t_session
+        if args.budget and elapsed + est > args.budget:
+            print(f"--- {name}: SKIPPED (budget: {elapsed:.0f}s elapsed "
+                  f"+ {est}s est > {args.budget}s)", flush=True)
+            bank({"row": name, "status": "skipped_budget",
+                  "elapsed_s": round(elapsed, 1)})
+            skipped += 1
+            continue
+        print(f"--- {name}: start "
+              f"({time.strftime('%H:%M:%S', time.gmtime())}Z)", flush=True)
+        t0 = time.time()
+        try:
+            result = thunk()
+            result = dict(result or {})
+            result.update(row=name, status="ok",
+                          wall_s=round(time.time() - t0, 1))
+            bank(result)
+            done += 1
+            print(f"--- {name}: ok in {result['wall_s']}s -> "
+                  f"{result.get('metric')}={result.get('value')}",
+                  flush=True)
+        except BaseException as e:  # incl. SystemExit; keep the session alive
+            if isinstance(e, KeyboardInterrupt):
+                raise
+            tb = traceback.format_exc()
+            print(f"--- {name}: FAILED in {time.time() - t0:.1f}s\n{tb}",
+                  flush=True)
+            bank({"row": name, "status": "failed", "error": repr(e),
+                  "wall_s": round(time.time() - t0, 1)})
+            failed += 1
+    print(f"=== r5 session done: {done} ok, {failed} failed, "
+          f"{skipped} skipped, {time.time() - t_session:.0f}s total",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
