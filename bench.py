@@ -816,6 +816,50 @@ def run_config(args):
               f"{float(np.percentile(lat, 90)):.3f} ms, p99 "
               f"{float(np.percentile(lat, 99)):.3f} ms per 10 ms window",
               file=sys.stderr)
+        if args.profile:
+            # decomposition (VERDICT r4 next #6): how much of the fenced
+            # window is dispatch+read round-trip vs on-device work.
+            @jax.jit
+            def _inc(x):
+                return x + 1.0
+
+            z = jnp.float32(0.0)
+            float(_inc(z))
+            rtts = []
+            for _ in range(100):
+                t0 = time.time()
+                z = _inc(z)
+                float(z)
+                rtts.append(time.time() - t0)
+            rtt = float(np.median(np.asarray(rtts)) * 1000.0)
+            # pipelined: dispatch N windows back-to-back, fence once — the
+            # per-window device+dispatch time without a host read each
+            t0 = time.time()
+            for i in range(100):
+                state, kept = run_step(state, events[i % STEPS_PER_CALL],
+                                       n_valid[i % STEPS_PER_CALL])
+            float(kept)
+            piped = (time.time() - t0) / 100 * 1000.0
+            # steady-state result age with double buffering: fence window
+            # i-1 AFTER dispatching window i (one window in flight)
+            ages = []
+            prev = None
+            for i in range(200):
+                t0 = time.time()
+                state, kept = run_step(state, events[i % STEPS_PER_CALL],
+                                       n_valid[i % STEPS_PER_CALL])
+                if prev is not None:
+                    float(prev)
+                    ages.append(time.time() - t0)
+                prev = kept
+            float(prev)
+            age = float(np.median(np.asarray(ages)) * 1000.0)
+            print(f"# latency breakdown: scalar dispatch+read RTT "
+                  f"{rtt:.3f} ms; pipelined device+dispatch "
+                  f"{piped:.3f} ms/window; fenced window {ms:.3f} ms "
+                  f"(host round-trip share ~{max(ms - piped, 0.0):.3f}); "
+                  f"double-buffered result cadence {age:.3f} ms/window",
+                  file=sys.stderr)
         metric = cfg["metric"]
         if args.events == "skewed":
             metric += "_skewed"

@@ -196,11 +196,18 @@ def segment_last_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
 
     Formulation: stable-sort events by cell index carrying the value, so
     each cell's events form a contiguous segment whose END holds the last
-    write; per-cell counts ride the banded local-one-hot MXU contraction
-    (`_sorted_partials`); an inclusive cumsum of the counts then gives every
-    segment's end position, and one gather pulls the last value per cell.
-    Cost = sort + the ECI count scatter + cumsum + gather — no O(E) serial
-    loop, unlike `jnp.ndarray.at[].max/set` which XLA serialises on TPU.
+    write; mask the carried values to the segment-end positions
+    (idx_s[e] != idx_s[e+1]) and run the same banded local-one-hot MXU
+    contraction as the count scatter — exactly one event contributes per
+    cell, so the value sum IS the last write. Cost = sort + the ECI
+    histogram. (A cumsum+gather formulation of the same idea measured
+    323.8 w/s on v5e where this path's histogram alone runs 3550 — TPU
+    per-element gather over the 146k-cell grid is slower than the serial
+    scatter it replaced; log/round5/results.jsonl row enc_sae@0d47729.)
+
+    Values ride the bf16 hi+lo split (~16 mantissa bits): center them
+    (e.g. pass t - now, not raw µs timestamps) so the split's relative
+    error lands on a small range.
     """
     B, E = idx.shape
     n_hi = (size + LANES - 1) // LANES
@@ -215,33 +222,40 @@ def segment_last_sorted(idx: jnp.ndarray, tvals: jnp.ndarray,
     # lax.sort is stable: equal cells keep stream order, so the segment end
     # is the latest write even if timestamps are not monotone
     idx_s, t_s = jax.lax.sort((idx, tvals), num_keys=1, dimension=1)
+    is_end = jnp.concatenate(
+        [idx_s[:, 1:] != idx_s[:, :-1],
+         jnp.ones((B, 1), bool)], axis=1)
+    t_end = jnp.where(is_end, t_s, 0.0)
 
     def cols_fn(tc):
-        return (jnp.ones_like(tc),)
+        thi = tc.astype(jnp.bfloat16).astype(jnp.float32)
+        return (jnp.ones_like(tc), thi, tc - thi)
 
     dense, overflow = jax.vmap(
         lambda i, t: _sorted_partials(i, t, n_hi, cols_fn, delta, chunk)
-    )(idx_s, t_s)
+    )(idx_s, t_end)
 
     def add_overflow(d):
+        # serial-scatter pass over the (rare) events whose sorted chunk
+        # spanned more than Δ hi rows. Counts add per event; the value
+        # columns stay exact because only segment-end events carry one.
         oob = jnp.where(overflow, idx_s, jnp.int32(sentinel))
         hi_o = oob // LANES
         lo_o = oob % LANES
 
-        def one(dd, h, l):
-            out = dd.reshape(n_hi, LANES)
-            out = out.at[h, l].add(1.0, mode="drop")
-            return out.reshape(n_hi, LANES)
+        def one(dd, h, l, t):
+            out = dd.reshape(n_hi, 3, LANES)
+            for c, colv in enumerate(cols_fn(t)):
+                out = out.at[h, c, l].add(colv.astype(jnp.float32),
+                                          mode="drop")
+            return out.reshape(n_hi, 3 * LANES)
 
-        return jax.vmap(one)(d, hi_o, lo_o)
+        return jax.vmap(one)(d, hi_o, lo_o, t_end)
 
     dense = jax.lax.cond(jnp.any(overflow), add_overflow, lambda d: d, dense)
-    cnt = dense.reshape(B, -1)[:, :size]
-    # counts are exact integers in f32 (0/1 products, f32 accumulate);
-    # inclusive cumsum of them stays exact for E << 2^24
-    end = jnp.cumsum(cnt, axis=1).astype(jnp.int32) - 1
-    pos = jnp.clip(end, 0, idx_s.shape[1] - 1)
-    last = jnp.take_along_axis(t_s, pos, axis=1)
+    dense3 = dense.reshape(B, n_hi, 3, LANES)
+    cnt = dense3[:, :, 0, :].reshape(B, -1)[:, :size]
+    last = (dense3[:, :, 1, :] + dense3[:, :, 2, :]).reshape(B, -1)[:, :size]
     return cnt, last
 
 

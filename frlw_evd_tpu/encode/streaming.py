@@ -358,8 +358,13 @@ def sae_stream(xytp, n_valid, memory, now, *, height: int, width: int,
     valid = ((jnp.arange(E)[None, :] < n_valid[:, None])
              & (x < width) & (y < height))
     idx = (y * width + x) * 2 + p
-    cnt, t_last = segment_last_sorted(idx, t, valid, height * width * 2)
-    t_img = jnp.where(cnt > 0, t_last, -jnp.inf).reshape(
+    # centre the carried values at `now`: the bf16 hi+lo value path keeps
+    # ~16 mantissa bits, so dt over the 5 s SAE window is exact to ~75 µs
+    # at the decayed-out far end and sub-µs near now, where raw absolute
+    # µs timestamps would lose real precision
+    cnt, dt_last = segment_last_sorted(idx, t - now, valid,
+                                       height * width * 2)
+    t_img = jnp.where(cnt > 0, now + dt_last, -jnp.inf).reshape(
         B, height, width, 2)
     # monotone max-merge with the running memory (reference :52); cells with
     # no events this window keep the memory value

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import BaseConv, get_activation
+from .blocks import BaseConv, SpmdBatchNorm, get_activation
 
 
 class ConvLSTMCell(nn.Module):
@@ -73,7 +73,7 @@ class _BottleneckPostAct(nn.Module):
         pad = 0
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     name="conv3_conv")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = SpmdBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="conv3_bn")(y)
         if x.shape[-1] == self.out_channels:
             y = y + x

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .blocks import SpmdBatchNorm
+
 
 def h_sigmoid(x):
     return jax.nn.relu6(x + 3.0) / 6.0
@@ -42,7 +44,7 @@ class _ConvBN(nn.Module):
                     padding=[(pad, pad), (pad, pad)],
                     feature_group_count=self.groups, use_bias=False,
                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = SpmdBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn")(x)
         if self.act == "relu6":
             return jax.nn.relu6(x)
@@ -67,7 +69,7 @@ class CoordAtt(nn.Module):
         x_w_t = jnp.transpose(x_w, (0, 2, 1, 3))            # (N, W, 1, C)
         y = jnp.concatenate([x_h, x_w_t], axis=1)           # (N, H+W, 1, C)
         y = nn.Conv(mip, (1, 1), name="conv1")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = SpmdBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(y)
         y = h_swish(y)
         y_h, y_w = y[:, :h], y[:, h:]

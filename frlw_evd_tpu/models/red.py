@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .blocks import SpmdBatchNorm
+
 from .memory import ConvLSTMCell
 
 CENTER_VARIANCE = 0.1
@@ -51,7 +53,7 @@ class SEBottleneck(nn.Module):
             h = nn.Conv(ch, (ksize, ksize), strides=(stride, stride),
                         padding=[(pad, pad), (pad, pad)], use_bias=False,
                         name=f"{name}_conv")(h)
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return SpmdBatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, name=f"{name}_bn")(h)
 
         out = jax.nn.relu(conv_bn(x, self.planes, 3, 1, "c1"))
@@ -76,7 +78,7 @@ class SEResNet(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(32, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = SpmdBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         x = jax.nn.relu(x)
         x = SEBottleneck(64, 2, name="layer1")(x, train)

@@ -18,7 +18,8 @@ from math import log2
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import BaseConv, get_activation, space_to_depth_patches
+from .blocks import (BaseConv, SpmdBatchNorm, get_activation,
+                     space_to_depth_patches)
 
 
 class WeightNormConv1x1(nn.Module):
@@ -325,7 +326,7 @@ class _PadInBaseConv(nn.Module):
 
         x = _PadKernelConv2d(self.out_channels, self.real_in,
                              self.ksize, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = SpmdBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn")(x)
         return get_activation(self.act)(x)
 

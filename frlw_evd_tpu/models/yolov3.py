@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .blocks import SpmdBatchNorm
 from .stems import BinsFusionModule
 
 # 9 COCO anchors, [w, h] per (scale, anchor) — head.py:19-21 ANCHOR_SIZE2
@@ -44,7 +45,7 @@ class ConvBnLeaky(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)], use_bias=True,
                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = SpmdBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn")(x)
         return jax.nn.leaky_relu(x, 0.1)
 

@@ -205,6 +205,42 @@ def test_event_frame_stream(rng):
                                   np.asarray(out[..., 1]))
 
 
+def test_segment_last_unordered_and_overflow(rng):
+    """segment_last_sorted keeps index_put_ last-WRITE semantics (stable
+    sort: the later event in stream order wins even when timestamps are
+    not monotone), and the banded overflow fallback path reproduces it on
+    a striped index pattern where every sorted chunk spans the whole grid.
+    """
+    from frlw_evd_tpu.encode.mxu_scatter import (LANES, SORT_DELTA,
+                                                 segment_last_sorted)
+
+    B, E = 2, 2048
+    for size, name in ((64 * LANES, "inband"),
+                       ((SORT_DELTA * 40) * LANES, "overflow")):
+        if name == "overflow":
+            # striped: consecutive events land far apart so each sorted
+            # chunk spans >> Δ hi rows and the fallback must fire
+            idx = ((np.arange(B * E).reshape(B, E) * 7919) % size)
+            idx = idx.astype(np.int32)
+        else:
+            idx = rng.integers(0, size, (B, E)).astype(np.int32)
+        vals = rng.uniform(-100.0, 100.0, (B, E)).astype(np.float32)
+        valid = rng.random((B, E)) < 0.9
+        cnt_ref = np.zeros((B, size), np.float32)
+        last_ref = np.zeros((B, size), np.float32)
+        for b in range(B):
+            for e in range(E):
+                if valid[b, e]:
+                    cnt_ref[b, idx[b, e]] += 1
+                    last_ref[b, idx[b, e]] = vals[b, e]  # last write wins
+        cnt, last = segment_last_sorted(jnp.asarray(idx), jnp.asarray(vals),
+                                        jnp.asarray(valid), size)
+        np.testing.assert_array_equal(np.asarray(cnt), cnt_ref, err_msg=name)
+        got = np.where(cnt_ref > 0, np.asarray(last), 0.0)
+        np.testing.assert_allclose(got, last_ref, rtol=2e-4, atol=2e-2,
+                                   err_msg=name)
+
+
 def test_sae_stream(rng):
     B, E = 2, 300
     now = 100_000.0

@@ -67,7 +67,7 @@ def bench_row(name: str, **overrides):
     return run
 
 
-def profile_row(config: str, quick: bool = False):
+def profile_row(config: str, quick: bool = False, extra=()):
     """tools/train_profile.py decomposition, in-process; its per-variant
     lines go to the session log and the full-step rows are banked."""
     def run():
@@ -76,8 +76,8 @@ def profile_row(config: str, quick: bool = False):
 
         from tools import train_profile
 
-        argv = ["train_profile", "--config", config] + (
-            ["--quick"] if quick else [])
+        argv = (["train_profile", "--config", config]
+                + (["--quick"] if quick else []) + list(extra))
         old = sys.argv
         buf = io.StringIO()
 
@@ -134,6 +134,31 @@ MATRIX = {
         ("latency_gen1_int8", 900, bench_row("latency_gen1_int8",
                                              config="gen1_latency",
                                              dtype="int8")),
+    ],
+    # follow-up set: rows whose code changed after the first gen1 session
+    # launched (the running session imported the old module)
+    "gen1b": [
+        ("enc_sae_v2", 900, bench_row("enc_sae_v2", config="gen1_sae")),
+        ("latency_gen1_breakdown", 900, bench_row(
+            "latency_gen1_breakdown", config="gen1_latency", profile=True)),
+        ("enc_sae_skewed", 600, bench_row("enc_sae_skewed",
+                                          config="gen1_sae",
+                                          events="skewed")),
+        # profile follow-ups: the r5 profile showed canonical-stem + rbg is
+        # the winner (746.4 w/s) and p64/merged-head HURT training — A/B
+        # the remaining levers on the canonical stem
+        ("train_gen1_rbg_mh", 1200, bench_row(
+            "train_gen1_rbg_mh", config="gen1_train", rng="rbg",
+            merged_head=True)),
+        ("train_gen1_rbg_dots", 1200, bench_row(
+            "train_gen1_rbg_dots", config="gen1_train", rng="rbg",
+            remat=True, remat_policy="dots")),
+        ("train_gen1_rbg_b128", 1200, bench_row(
+            "train_gen1_rbg_b128", config="gen1_train", rng="rbg",
+            batch=128)),
+        # stem-vs-rest split of the step cost (no variant re-timing)
+        ("train_profile_stages", 1200, profile_row(
+            "gen1", extra=("--skip_variants", "--stages"))),
     ],
     "gen4": [
         # gen4 training bf16 at batch 16 (VERDICT #3 — the number two

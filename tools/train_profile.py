@@ -60,6 +60,12 @@ def main():
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--quick", action="store_true",
                     help="skip the canonical-stem variants (p64 only)")
+    ap.add_argument("--stages", action="store_true",
+                    help="also time the BFM stem alone (fwd and fwd+bwd) "
+                         "to split the step cost stem vs backbone/neck/head")
+    ap.add_argument("--skip_variants", action="store_true",
+                    help="skip the full-step variant matrix (stages / "
+                         "assignment / dropout decomposition only)")
     args = ap.parse_args()
     g = GEOM[args.config]
     (h, w), nc = g["hw"], g["nc"]
@@ -81,6 +87,8 @@ def main():
     variants = [("p64", "bfm_p64", True)]
     if not args.quick:
         variants.insert(0, ("canonical", "bfm", False))
+    if args.skip_variants:
+        variants = []
 
     for name, stem, patchify in variants:
         model = build_detector(nc, family="aed", stem=stem)
@@ -146,6 +154,43 @@ def main():
         ms_e, _ = timeit(fwd_eval, state.params, state.batch_stats, imgs,
                          n=20)
         print(f"[{name:9s}] fwd eval-mode: {ms_e:7.2f} ms", flush=True)
+
+    if args.stages:
+        # the BFM stem alone: its 1x1 grouped-conv + mixer chains run at
+        # FULL input resolution with 4-48 channels — MXU-hostile and
+        # bandwidth-bound; this row says how much of the step it owns
+        from frlw_evd_tpu.models.stems import BinsFusionModule
+
+        stem = BinsFusionModule(64, ksize=3, act="silu")
+        sx = jnp.asarray(rng.uniform(0, 1, (B, h, w, 2 * K)), jnp.bfloat16)
+        svars = jax.jit(stem.init, static_argnums=(2,))(
+            jax.random.key(0), sx, False)
+        sparams = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, svars)
+
+        @jax.jit
+        def stem_fwd(v, x_):
+            return stem.apply(v, x_, False)
+
+        ms_sf, _ = timeit(stem_fwd, sparams, sx, n=20)
+        print(f"[stem     ] fwd eval-mode: {ms_sf:7.2f} ms", flush=True)
+
+        @jax.jit
+        def stem_fwdbwd(v, x_, key_):
+            def f(vv, xx):
+                out, _ = stem.apply(
+                    vv, xx, True, mutable=["batch_stats"],
+                    rngs={"dropout": key_})
+                return (out.astype(jnp.float32) ** 2).sum()
+
+            l, g = jax.value_and_grad(f, argnums=(0, 1))(v, x_)
+            return l
+
+        key_s = jax.random.key(3, impl="rbg")
+        ms_sb, _ = timeit(stem_fwdbwd, sparams, sx, key_s, n=20)
+        print(f"[stem     ] fwd+bwd (train, rbg dropout): {ms_sb:7.2f} ms",
+              flush=True)
 
     # SimOTA assignment alone, at head scale
     A = (h // 8) * (w // 8) + (h // 16) * (w // 16) + (h // 32) * (w // 32)
