@@ -25,6 +25,10 @@ import os as _os
 
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                        _os.path.expanduser("~/.cache/jax_comp_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+# 0, not the 1 s default: through the axon tunnel the CLIENT-side
+# compile step is sub-second (the real multi-minute compile happens
+# remotely), so the default threshold silently caches nothing.
 
 import json
 import sys
@@ -434,8 +438,26 @@ def run_train_bench(cfg, batch, events_kind, remat=False, p64=False,
     rng = np.random.default_rng(0)
     n_lab = 40
     imgs = []
-    labels = np.zeros((STEPS_PER_CALL, batch, n_lab, 5), np.float32)
-    for s in range(STEPS_PER_CALL):
+    # The STEPS_PER_CALL distinct input volumes are bench harness state, not
+    # part of the step's working set — at gen4 batch 32 they alone cost
+    # 10 x 32x512x640x16 f32 = 6.7 GB HBM, which is what actually raised
+    # round-4's RESOURCE_EXHAUSTED (the full Adam step at batch 32 fits:
+    # log/round5 train_profile_gen4). Store them bf16 when the f32 set would
+    # exceed 4 GB; the step computes in bf16 regardless (half_precision),
+    # and the production fused encode path already emits bf16 volumes.
+    in_dtype = (jnp.bfloat16
+                if STEPS_PER_CALL * batch * h * w * 2 * K * 4 > 4e9
+                else jnp.float32)
+    # Even bf16-stored, STEPS_PER_CALL distinct volumes can crowd the step
+    # out of HBM at the largest geometries (gen1 batch 256: 10 x 671 MB =
+    # 6.7 GB of harness state next to batch-256 activations — the
+    # train_gen1_rbg_b256 RESOURCE_EXHAUSTED in log/round5). Cap the input
+    # set at ~2 GB (>=2 distinct batches so steps never reuse the previous
+    # step's exact input); the timed loop cycles over however many fit.
+    vol_bytes = batch * h * w * 2 * K * jnp.dtype(in_dtype).itemsize
+    n_inputs = max(2, min(STEPS_PER_CALL, int(2e9 // max(vol_bytes, 1))))
+    labels = np.zeros((n_inputs, batch, n_lab, 5), np.float32)
+    for s in range(n_inputs):
         if events_kind == "skewed":
             # leaky TAF volumes are mostly background with hot blobs:
             # per-sample blob positions and per-pixel noise inside each blob
@@ -451,7 +473,7 @@ def run_train_bench(cfg, batch, events_kind, remat=False, p64=False,
                     region[:] = rng.uniform(0, 1, region.shape)
         else:
             vol = rng.uniform(0, 1, (batch, h, w, 2 * K)).astype(np.float32)
-        imgs.append(jnp.asarray(vol, jnp.float32))
+        imgs.append(jnp.asarray(vol, in_dtype))
         n_gt = rng.integers(3, n_lab // 2, batch)
         for b in range(batch):
             g = int(n_gt[b])
@@ -472,8 +494,8 @@ def run_train_bench(cfg, batch, events_kind, remat=False, p64=False,
     n_steps = 30
     t0 = time.time()
     for i in range(n_steps):
-        state, losses = step(state, imgs[i % STEPS_PER_CALL],
-                             labels[i % STEPS_PER_CALL], key)
+        state, losses = step(state, imgs[i % n_inputs],
+                             labels[i % n_inputs], key)
     float(losses["total_loss"])
     elapsed = time.time() - t0
 
@@ -481,8 +503,9 @@ def run_train_bench(cfg, batch, events_kind, remat=False, p64=False,
     wps = n_steps * batch / elapsed
     peak = 197e12  # v5e bf16 peak
     mfu = cost["flops"] / (elapsed / n_steps) / peak
+    tag = " (bf16-stored inputs)" if in_dtype == jnp.bfloat16 else ""
     print(f"# train: {ms:.2f} ms/step (batch {batch}), {wps:.1f} windows/s, "
-          f"{cost['flops'] / 1e12:.2f} TFLOP/step, MFU {mfu:.1%}",
+          f"{cost['flops'] / 1e12:.2f} TFLOP/step, MFU {mfu:.1%}{tag}",
           file=sys.stderr)
     return wps
 
@@ -537,6 +560,13 @@ def run_encoder_bench(cfg, batch, events_kind):
     state = None
     out, state = step(state, events[0], n_valid[0], 10000.0)
     fence(out)
+    if state is not None:
+        # warm the steady-state signature too: the first call traced the
+        # state=None variant; the carried-state variant would otherwise
+        # compile INSIDE the timed loop (tools/enc_profile.py measured the
+        # actual SAE compute at 16.8 ms/batch where the loop reported 231)
+        out, state = step(state, events[0], n_valid[0], 10000.0)
+        fence(out)
 
     n_steps = 50
     t0 = time.time()
@@ -632,6 +662,16 @@ def make_parser():
     parser.add_argument("--profile", action="store_true",
                         help="also print a per-stage breakdown (split "
                              "pipeline only) to stderr")
+    parser.add_argument("--scatter", default="auto",
+                        choices=("auto", "mxu", "sorted", "pallas"),
+                        help="encode scatter formulation override for the "
+                             "inference pipelines (auto = the config's "
+                             "entry: mxu dense one-hot at GEN1, "
+                             "pallas/sorted at 1 Mpx). The sorted "
+                             "O(E*delta) path profiled ~2x the dense "
+                             "one-hot at GEN1's 146k-cell grid "
+                             "(tools/enc_profile.py), so gen1_taf_sorted "
+                             "is a queued A/B.")
     return parser
 
 
@@ -709,19 +749,23 @@ def run_config(args):
         # quantized detect program differs anyway — use the split pipeline
         args.fused = "off"
 
+    def _scatter(default):
+        return (cfg.get("scatter", default) if args.scatter == "auto"
+                else args.scatter)
+
     def build_pipeline(quant=None):
         if cfg.get("p64"):
             return make_pipeline_p64(model, variables, sensor_hw,
-                                     cfg.get("scatter", "pallas"),
+                                     _scatter("pallas"),
                                      folded=bool(cfg.get("folded_stem")),
                                      nms_impl=args.nms, quant=quant)
         if cfg.get("packed"):
             return make_pipeline_packed(model, variables, sensor_hw,
                                         input_hw,
-                                        cfg.get("scatter", "pallas"),
+                                        _scatter("pallas"),
                                         nms_impl=args.nms, quant=quant)
         return make_pipeline(model, variables, sensor_hw, input_hw,
-                             cfg.get("scatter", "mxu"),
+                             _scatter("mxu"),
                              fused=(cfg.get("fused", True)
                                     if args.fused == "auto"
                                     else args.fused == "on"),

@@ -76,6 +76,8 @@ def _merged_towers(head, k, x, train):
     concat of each branch's scale/bias/mean/var is exact. Same math and the
     IDENTICAL parameter tree as the separate towers — an MXU layout A/B,
     not a different model. Returns (cls_feat, reg_feat)."""
+    from .quantize import maybe_merged_int8_conv
+
     W = head.width
     h = x
     for layer in (0, 1):
@@ -84,12 +86,21 @@ def _merged_towers(head, k, x, train):
                           parent=head)()
             for branch in ("cls", "reg")
         ]
-        kernel = jnp.concatenate([l["kernel"] for l in leaves], axis=-1)
-        y = jax.lax.conv_general_dilated(
-            h, kernel.astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=2 if layer == 1 else 1)
-        y32 = y.astype(jnp.float32)
+        groups = 2 if layer == 1 else 1
+        # int8 serving path (models/quantize.py): keyed by the canonical
+        # per-branch conv paths so calibration scales are interchangeable
+        # with the unmerged head. None ⇒ no int8 ctx / uncalibrated site.
+        keys = ["/".join((*head.path, f"{b}_convs_{k}_{layer}", "conv"))
+                for b in ("cls", "reg")]
+        y32 = maybe_merged_int8_conv(h, [l["kernel"] for l in leaves],
+                                     keys, groups)
+        if y32 is None:
+            kernel = jnp.concatenate([l["kernel"] for l in leaves], axis=-1)
+            y = jax.lax.conv_general_dilated(
+                h, kernel.astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups)
+            y32 = y.astype(jnp.float32)
         momentum, eps = 0.9, 1e-5
         if train:
             m = jnp.mean(y32, axis=(0, 1, 2))

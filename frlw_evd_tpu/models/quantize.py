@@ -19,9 +19,17 @@ Only "MXU-worthy" sites are quantized: plain convs (groups=1, no dilation)
 with ≥ `min_channels` in AND out channels. That automatically keeps the
 prediction heads (out ≤ num_classes+5), depthwise convs, and the narrow
 stem mixing convs in bf16, where accuracy is most sensitive and int8 gains
-nothing. Merged-branch head towers (heads.py _merged_towers) call lax.conv
-directly and therefore also stay bf16 — compose --dtype int8 with the
-canonical head (int8 already makes the separate towers MXU-efficient).
+nothing.
+
+Merged-branch head towers (heads.py _merged_towers) call lax.conv directly,
+outside nn.Conv interception, so they participate through an explicit hook
+(`maybe_merged_int8_conv`) keyed by the CANONICAL per-branch conv paths:
+calibration records each branch's input range under its canonical key (the
+two branches of layer 0 share an input; layer 1's halves are recorded — and
+quantized — separately, exactly like the unmerged towers), and the weight
+table's per-branch (q, sw) entries are concatenated to form the double-width
+int8 kernel. Scales dicts are therefore interchangeable between canonical
+and merged builds of the same checkpoint.
 
 Accuracy is validated structurally in tests/test_quantize.py (quantized
 head maps stay within a few percent relative L2 of the bf16 forward, and
@@ -34,6 +42,7 @@ available.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 from typing import Any, Dict, Iterator, Optional, Sequence, Tuple
 
 import jax
@@ -41,6 +50,70 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 PathKey = str  # "/".join(module.path)
+
+# Active quantization context for conv sites that bypass nn.Conv (the merged
+# head towers). Value: {"mode": "record", "store": dict} during calibration,
+# {"mode": "apply", "scales": .., "table": .., "min_channels": int} while an
+# int8_ctx is installed, else None. Consulted at TRACE time only.
+_MERGED: contextvars.ContextVar[Optional[dict]] = contextvars.ContextVar(
+    "int8_merged_ctx", default=None)
+
+
+def maybe_merged_int8_conv(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
+                           keys: Sequence[PathKey], groups: int):
+    """int8 path for a merged multi-branch conv built from canonical leaves.
+
+    x: merged input — shared by all branches when groups == 1, or the
+    channel-concat of per-branch inputs when groups == len(kernels).
+    kernels: per-branch HWIO kernels (the canonical parameter leaves, in
+    output-concat order). keys: the canonical conv path keys of the branches.
+
+    Returns the f32 conv output (pre-BN), or None when no int8 context is
+    active / the site is uncalibrated / too narrow — callers fall back to
+    their bf16 conv. In record mode, banks each branch input's max|.| under
+    its canonical key and returns None (calibration runs the bf16 math).
+    """
+    ctx = _MERGED.get()
+    if ctx is None:
+        return None
+    nb = len(kernels)
+    if groups == 1:
+        parts = [x] * nb
+    else:
+        w_in = x.shape[-1] // nb
+        parts = [x[..., i * w_in:(i + 1) * w_in] for i in range(nb)]
+    if ctx["mode"] == "record":
+        store = ctx["store"]
+        mc = ctx["min_channels"]
+        for key, p, kern in zip(keys, parts, kernels):
+            if kern.shape[-2] >= mc and kern.shape[-1] >= mc:
+                m = jnp.max(jnp.abs(jnp.asarray(p, jnp.float32)))
+                store[key] = (jnp.maximum(store[key], m)
+                              if key in store else m)
+        return None
+    scales, table = ctx["scales"], ctx["table"]
+    if any(k not in scales for k in keys):
+        return None
+    qk, sw, xq_parts, out_scales = [], [], [], []
+    for key, p, kern in zip(keys, parts, kernels):
+        sx = scales[key]
+        if key in table:
+            q, s = table[key]
+        else:
+            q, s = quantize_kernel(kern)
+        qk.append(q)
+        sw.append(s)
+        out_scales.append(s * sx)
+        xq_parts.append(jnp.clip(
+            jnp.round(p.astype(jnp.float32) * (1.0 / sx)),
+            -127, 127).astype(jnp.int8))
+    xq = xq_parts[0] if groups == 1 else jnp.concatenate(xq_parts, axis=-1)
+    out = jax.lax.conv_general_dilated(
+        xq, jnp.concatenate(qk, axis=-1), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32)
+    return out.astype(jnp.float32) * jnp.concatenate(out_scales)
 
 
 def _norm_strides(mod: nn.Conv) -> Tuple[int, int]:
@@ -155,8 +228,13 @@ def calibrate_int8(model: nn.Module, variables, batches: Sequence,
                               if key in local else m)
             return next_fun(*args, **kwargs)
 
-        with nn.intercept_methods(interceptor):
-            model.apply(vs, b, False, **kw)
+        token = _MERGED.set({"mode": "record", "store": local,
+                             "min_channels": min_channels})
+        try:
+            with nn.intercept_methods(interceptor):
+                model.apply(vs, b, False, **kw)
+        finally:
+            _MERGED.reset(token)
         return local
 
     fn = jax.jit(one_batch)
@@ -206,13 +284,23 @@ def make_int8_interceptor(scales: Dict[PathKey, float],
     return interceptor
 
 
+@contextlib.contextmanager
 def int8_ctx(scales: Optional[Dict[PathKey, float]],
              weight_table: Optional[Dict[PathKey, Tuple]] = None,
              *, min_channels: int = 64):
-    """Context manager installing the int8 interceptor; a no-op when
-    `scales` is falsy, so call sites can pass it through unconditionally."""
+    """Context manager installing the int8 interceptor (nn.Conv sites) and
+    the merged-tower hook context; a no-op when `scales` is falsy, so call
+    sites can pass it through unconditionally."""
     if not scales:
-        return contextlib.nullcontext()
-    return nn.intercept_methods(
-        make_int8_interceptor(scales, weight_table,
-                              min_channels=min_channels))
+        yield
+        return
+    token = _MERGED.set({"mode": "apply", "scales": scales,
+                         "table": weight_table or {},
+                         "min_channels": min_channels})
+    try:
+        with nn.intercept_methods(
+                make_int8_interceptor(scales, weight_table,
+                                      min_channels=min_channels)):
+            yield
+    finally:
+        _MERGED.reset(token)

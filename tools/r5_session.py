@@ -35,6 +35,10 @@ import traceback
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+# 0, not the 1 s default: through the axon tunnel the CLIENT-side
+# compile step is sub-second (the real multi-minute compile happens
+# remotely), so the default threshold silently caches nothing.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = os.path.join(os.path.dirname(os.path.dirname(
@@ -99,6 +103,16 @@ def profile_row(config: str, quick: bool = False, extra=()):
     return run
 
 
+def enc_profile_row():
+    """tools/enc_profile.py SAE decomposition, in-process."""
+    def run():
+        from tools import enc_profile
+
+        return enc_profile.main()
+
+    return run
+
+
 # The round-5 matrix, priority-ordered per VERDICT r4 "Next round: do this".
 # est = rough wall estimate (s) incl. compile, used only for budget skips.
 MATRIX = {
@@ -159,6 +173,53 @@ MATRIX = {
         # stem-vs-rest split of the step cost (no variant re-timing)
         ("train_profile_stages", 1200, profile_row(
             "gen1", extra=("--skip_variants", "--stages"))),
+    ],
+    # third wave: rows unlocked by post-gen1b code changes — the
+    # segment-last SAE (the 323.8 w/s row was the superseded cumsum+gather
+    # path), the merged-head x int8 composition, the bf16-stored-input fix
+    # that lets gen4 batch 32 fit (round-4's OOM was bench harness HBM, not
+    # the step), and the batch-256 gen1 push toward MFU >= 10%
+    "gen1c": [
+        ("enc_sae_v2", 900, bench_row("enc_sae_v2", config="gen1_sae")),
+        ("enc_sae_skewed", 600, bench_row("enc_sae_skewed",
+                                          config="gen1_sae",
+                                          events="skewed")),
+        ("gen1_int8_mh", 900, bench_row("gen1_int8_mh", config="gen1_taf",
+                                        dtype="int8", merged_head=True)),
+        ("train_gen4_b32", 2400, bench_row(
+            "train_gen4_b32", config="gen4_train", batch=32, p64=True)),
+        ("train_gen1_rbg_b256", 1800, bench_row(
+            "train_gen1_rbg_b256", config="gen1_train", rng="rbg",
+            batch=256)),
+        ("latency_gen1_int8_mh", 900, bench_row(
+            "latency_gen1_int8_mh", config="gen1_latency", dtype="int8",
+            merged_head=True)),
+    ],
+    # fourth wave: the enc_profile.py decomposition showed the SAE/EV bench
+    # numbers were WARMUP ARTIFACTS (the carried-state jit variant compiled
+    # inside the timed loop — actual SAE compute is 16.8 ms/batch = ~7600
+    # w/s where the loop reported 231 ms); re-measure all carried-state
+    # encoder rows with the double-warmup fix, A/B the sorted scatter on the
+    # full gen1 pipeline (profiled ~2x the dense one-hot at GEN1 grid), and
+    # retry the two OOM rows (bench input cap + post-failure gc)
+    "gen1d": [
+        ("enc_profile_sae", 1800, enc_profile_row()),
+        ("enc_sae_v3", 900, bench_row("enc_sae_v3", config="gen1_sae")),
+        ("enc_sae_skewed_v3", 600, bench_row("enc_sae_skewed_v3",
+                                             config="gen1_sae",
+                                             events="skewed")),
+        ("enc_ev_v2", 900, bench_row("enc_ev_v2", config="gen1_ev")),
+        ("gen1_taf_sorted", 900, bench_row("gen1_taf_sorted",
+                                           config="gen1_taf",
+                                           scatter="sorted")),
+        ("train_gen4_b48", 2400, bench_row(
+            "train_gen4_b48", config="gen4_train", batch=48, p64=True)),
+        ("train_gen1_rbg_b256", 2400, bench_row(
+            "train_gen1_rbg_b256", config="gen1_train", rng="rbg",
+            batch=256)),
+        ("latency_gen1_int8_mh", 900, bench_row(
+            "latency_gen1_int8_mh", config="gen1_latency", dtype="int8",
+            merged_head=True)),
     ],
     "gen4": [
         # gen4 training bf16 at batch 16 (VERDICT #3 — the number two
@@ -235,6 +296,17 @@ def main():
             bank({"row": name, "status": "failed", "error": repr(e),
                   "wall_s": round(time.time() - t0, 1)})
             failed += 1
+            # After an OOM the device arrays referenced by the exception's
+            # frames (and jitted-program donees) linger until GC; the
+            # gen1c session's latency_gen1_int8_mh failed instantly with
+            # RESOURCE_EXHAUSTED right after the b256 OOM for exactly this
+            # reason. Drop the traceback, collect, and give the runtime a
+            # beat to release HBM before the next row.
+            del tb, e
+            import gc
+
+            gc.collect()
+            time.sleep(2)
     print(f"=== r5 session done: {done} ok, {failed} failed, "
           f"{skipped} skipped, {time.time() - t_session:.0f}s total",
           flush=True)
