@@ -107,6 +107,10 @@ def maybe_merged_int8_conv(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
         xq_parts.append(jnp.clip(
             jnp.round(p.astype(jnp.float32) * (1.0 / sx)),
             -127, 127).astype(jnp.int8))
+    # groups == 1: all branches share the input tensor AND therefore the
+    # same calibrated max|x| (both record/canonical passes bank the same
+    # value under each branch key), so quantizing once with branch 0's
+    # scale is exact for every branch; the unused xq_parts are DCE'd.
     xq = xq_parts[0] if groups == 1 else jnp.concatenate(xq_parts, axis=-1)
     out = jax.lax.conv_general_dilated(
         xq, jnp.concatenate(qk, axis=-1), (1, 1), [(1, 1), (1, 1)],
