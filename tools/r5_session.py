@@ -221,6 +221,51 @@ MATRIX = {
             "latency_gen1_int8_mh", config="gen1_latency", dtype="int8",
             merged_head=True)),
     ],
+    # fifth wave: remaining unmeasured A/Bs — the patchified gen1 input
+    # path (config existed since r2, never captured), the gen1 per-stage
+    # breakdown, gen4 batch scaling past 128, and skewed-stream rows for
+    # the three encoders that only have uniform numbers
+    "gen1e": [
+        ("gen1_taf_p64", 900, bench_row("gen1_taf_p64",
+                                        config="gen1_taf_p64")),
+        ("gen1_profile", 900, bench_row("gen1_profile", config="gen1_taf",
+                                        fused="off", profile=True)),
+        ("gen4_b256", 1800, bench_row("gen4_b256", config="gen4_taf",
+                                      batch=256)),
+        ("enc_eci_skewed", 600, bench_row("enc_eci_skewed",
+                                          config="gen1_eci",
+                                          events="skewed")),
+        ("enc_ev_skewed", 600, bench_row("enc_ev_skewed", config="gen1_ev",
+                                         events="skewed")),
+        ("enc_frame_skewed", 600, bench_row("enc_frame_skewed",
+                                            config="gen1_frame",
+                                            events="skewed")),
+    ],
+    # sixth wave. The gen1e stage split (encode 31.9 ms / detect 22.5 ms)
+    # shows ENCODE dominates the gen1 step, and the sorted histogram lost
+    # its fused A/B only to program-level layout interactions — try it in
+    # the split pipeline, alone and composed with int8 detect. The skewed
+    # encoder rows re-run first (they died as OOM-cascade after gen4_b256's
+    # 21 GB batch-256 state — risky rows go LAST from now on).
+    "gen1f": [
+        ("enc_eci_skewed", 600, bench_row("enc_eci_skewed",
+                                          config="gen1_eci",
+                                          events="skewed")),
+        ("enc_ev_skewed", 600, bench_row("enc_ev_skewed", config="gen1_ev",
+                                         events="skewed")),
+        ("enc_frame_skewed", 600, bench_row("enc_frame_skewed",
+                                            config="gen1_frame",
+                                            events="skewed")),
+        ("gen1_sorted_split", 900, bench_row(
+            "gen1_sorted_split", config="gen1_taf", fused="off",
+            scatter="sorted")),
+        ("gen1_sorted_split_int8", 900, bench_row(
+            "gen1_sorted_split_int8", config="gen1_taf", fused="off",
+            scatter="sorted", dtype="int8")),
+        ("gen1_split_int8_profile", 900, bench_row(
+            "gen1_split_int8_profile", config="gen1_taf", fused="off",
+            dtype="int8", profile=True)),
+    ],
     "gen4": [
         # gen4 training bf16 at batch 16 (VERDICT #3 — the number two
         # outages ate). The step is mixed-precision by construction.
