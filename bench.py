@@ -74,6 +74,19 @@ CONFIGS = {
                             batch=128, events_per_bin=65536, fused=False,
                             scatter="pallas", packed=True,
                             metric="gen4_aed_taf8_encode_detect_throughput"),
+    # gen1 encode-stage attack A/Bs (the encode stage is ~63% of the gen1
+    # step — log/round5 gen1_split_int8_profile): the gen4 formulations at
+    # GEN1 geometry. packed = network-channel-order state + pallas banded
+    # scatter, XLA update; kernel = folded state + fused Pallas
+    # update+leaky kernel (one HBM pass) + pallas banded scatter.
+    "gen1_taf_packed": dict(sensor_hw=(240, 304), input_hw=(256, 320),
+                            batch=128, events_per_bin=16384, fused=False,
+                            scatter="pallas", packed=True,
+                            metric="gen1_aed_taf8_encode_detect_throughput"),
+    "gen1_taf_kernel": dict(sensor_hw=(240, 304), input_hw=(256, 320),
+                            batch=128, events_per_bin=16384, fused=False,
+                            scatter="pallas", kernel=True,
+                            metric="gen1_aed_taf8_encode_detect_throughput"),
     # previous-round gen4 pipeline kept for A/B comparison
     "gen4_taf_xla": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=128,
                          events_per_bin=65536, fused=False, scatter="sorted",
@@ -188,6 +201,52 @@ def make_pipeline_packed(model, variables, sensor_hw, input_hw,
             xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(jnp.int32)
             vol = jnp.take(jnp.take(vol, ys, axis=1), xs, axis=2)
         return state, vol
+
+    @jax.jit
+    def detect(vol):
+        with _quant_ctx(quant):
+            outs = model.apply(variables, vol, False)
+        outs = [o.astype(jnp.float32) for o in outs]
+        decoded = eval_decode(outs, (8, 16, 32))
+        dets, keep = postprocess_batch(decoded, max_detections=100,
+                                       nms_impl=nms_impl)
+        return keep.sum()
+
+    def run_step(state, ev, nv):
+        state, vol = encode_transform(state, ev, nv)
+        return state, detect(vol)
+
+    run_step.stages = {"encode_transform": encode_transform,
+                       "detect": detect}
+    return run_step
+
+
+def make_pipeline_kernel(model, variables, sensor_hw, input_hw,
+                         scatter="pallas", nms_impl="fixpoint", quant=None):
+    """Folded-state pipeline at any geometry: the TAF queue lives as
+    (B, H, W*2K) f32 (full-lane tiles), the fused Pallas update kernel
+    (encode/pallas_update.py taf_stream_step_kernel) does queue update +
+    leaky + bf16 cast in ONE HBM pass, and the banded Pallas scatter replaces
+    the dense one-hot histogram. This is the gen4 encode formulation applied
+    to GEN1 — built to attack the gen1 encode stage (31.4 ms = ~63% of the
+    step, log/round5 gen1_split_int8_profile)."""
+    from frlw_evd_tpu.encode.pallas_update import taf_stream_step_kernel
+
+    h, w = sensor_hw
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def encode_transform(state_f, xytp, n_valid):
+        state_f, vol = taf_stream_step_kernel(state_f, xytp, n_valid,
+                                              height=h, width=w,
+                                              scatter=scatter, precise=False)
+        # vol (B, H, W, 2K) bf16 in [0, 1] — the network-input channel order
+        if input_hw != (h, w):
+            ys = (jnp.arange(input_hw[0]) * (h / input_hw[0])).astype(
+                jnp.int32)
+            xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(
+                jnp.int32)
+            vol = jnp.take(jnp.take(vol, ys, axis=1), xs, axis=2)
+        return state_f, vol
 
     @jax.jit
     def detect(vol):
@@ -764,6 +823,11 @@ def run_config(args):
                                         input_hw,
                                         _scatter("pallas"),
                                         nms_impl=args.nms, quant=quant)
+        if cfg.get("kernel"):
+            return make_pipeline_kernel(model, variables, sensor_hw,
+                                        input_hw,
+                                        _scatter("pallas"),
+                                        nms_impl=args.nms, quant=quant)
         return make_pipeline(model, variables, sensor_hw, input_hw,
                              _scatter("mxu"),
                              fused=(cfg.get("fused", True)
@@ -780,6 +844,8 @@ def run_config(args):
         state = p64_init_state(BATCH, h, w, K)
     elif cfg.get("packed"):
         state = jnp.full((BATCH, h, w, 2 * K), -6000.0, jnp.float32)
+    elif cfg.get("kernel"):
+        state = jnp.full((BATCH, h, w * 2 * K), -6000.0, jnp.float32)
     else:
         state = jnp.full((BATCH, h, w, 2, K), -6000.0, jnp.float32)
     if args.events == "skewed":

@@ -67,6 +67,44 @@ def test_int8_pipeline_wiring(rng):
         np.asarray(noop.stages["detect"](vol)))
 
 
+def test_gen1_pipeline_variants_agree(rng):
+    """The three gen1 pipeline formulations — canonical unpacked state
+    (make_pipeline), packed state + scatter (make_pipeline_packed), and the
+    folded fused-Pallas-kernel path (make_pipeline_kernel) — must produce
+    the same detector input volume at GEN1-style geometry (input > sensor,
+    nearest-resize after encoding: generate_eventvolume.py:143-149 branch).
+    This gates the gen1_taf_packed / gen1_taf_kernel bench A/B rows: a
+    throughput win only counts if the volume is the same."""
+    h, w = 60, 72          # mini gen1 sensor (W*2K = 1152 = 9*128 lanes)
+    in_hw = (64, 96)
+    B, E = 2, 1024
+    plain = bench.make_pipeline(None, None, (h, w), in_hw, "mxu",
+                                fused=False)
+    packed = bench.make_pipeline_packed(None, None, (h, w), in_hw,
+                                        scatter="xla")
+    kernel = bench.make_pipeline_kernel(None, None, (h, w), in_hw,
+                                        scatter="pallas")
+    s_plain = jnp.full((B, h, w, 2, bench.K), -6000.0, jnp.float32)
+    s_packed = jnp.full((B, h, w, 2 * bench.K), -6000.0, jnp.float32)
+    s_kernel = jnp.full((B, h, w * 2 * bench.K), -6000.0, jnp.float32)
+    ev, nv = bench.synth_events(np.random.default_rng(0), 3, B, E, (h, w))
+    for i in range(3):
+        s_plain, v_plain = plain.stages["encode_transform"](
+            s_plain, ev[i], nv[i])
+        s_packed, v_packed = packed.stages["encode_transform"](
+            s_packed, ev[i], nv[i])
+        s_kernel, v_kernel = kernel.stages["encode_transform"](
+            s_kernel, ev[i], nv[i])
+        assert v_packed.shape == v_plain.shape == v_kernel.shape \
+            == (B, *in_hw, 2 * bench.K)
+        np.testing.assert_allclose(np.asarray(v_packed, np.float32),
+                                   np.asarray(v_plain, np.float32),
+                                   atol=2e-2, err_msg=f"packed step {i}")
+        np.testing.assert_allclose(np.asarray(v_kernel, np.float32),
+                                   np.asarray(v_plain, np.float32),
+                                   atol=2e-2, err_msg=f"kernel step {i}")
+
+
 def test_p64_input_stage_matches_patchified_resize(rng):
     h, w = 60, 76          # mini gen1 sensor
     in_hw = (64, 96)

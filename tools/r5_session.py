@@ -266,6 +266,25 @@ MATRIX = {
             "gen1_split_int8_profile", config="gen1_taf", fused="off",
             dtype="int8", profile=True)),
     ],
+    # seventh wave: the gen1 ENCODE attack. gen1f showed encode+transform
+    # (31.4 ms) is ~63% of the gen1 step; these A/B the gen4 encode
+    # formulations at GEN1 geometry — packed state + pallas banded scatter
+    # (XLA update) and the folded fused Pallas update+leaky kernel — plus
+    # the skewed-volume train row (the VERDICT r4 #8 fix has no measured
+    # row yet). Profile rows print per-stage times into the session log.
+    "gen1g": [
+        ("gen1_kernel_profile", 1200, bench_row(
+            "gen1_kernel_profile", config="gen1_taf_kernel", profile=True)),
+        ("gen1_packed_profile", 1200, bench_row(
+            "gen1_packed_profile", config="gen1_taf_packed", profile=True)),
+        ("gen1_packed_mxu", 900, bench_row(
+            "gen1_packed_mxu", config="gen1_taf_packed", scatter="mxu")),
+        ("gen1_kernel_int8", 900, bench_row(
+            "gen1_kernel_int8", config="gen1_taf_kernel", dtype="int8")),
+        ("train_gen1_skewed", 1200, bench_row(
+            "train_gen1_skewed", config="gen1_train", batch=128, rng="rbg",
+            events="skewed")),
+    ],
     "gen4": [
         # gen4 training bf16 at batch 16 (VERDICT #3 — the number two
         # outages ate). The step is mixed-precision by construction.
