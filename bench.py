@@ -49,10 +49,21 @@ from frlw_evd_tpu.models.postprocess import postprocess_batch
 
 CONFIGS = {
     # flagship: GEN1 AED + TAF-K8 streaming (the mAP-parity recipe).
-    # batch sweep on v5e: 64 -> 2270 w/s, 128 -> 2660 w/s, 256 -> 2340 w/s
+    # Round-5 A/B winner (log/round5/r5_gen1g_session.log): folded state +
+    # fused Pallas update+leaky kernel + banded Pallas scatter, split
+    # pipeline — 3023.2 w/s vs 2758.8 for the fused dense-one-hot path
+    # (kept below as gen1_taf_dense). Volume parity is gated by
+    # tests/test_bench_pipelines.py::test_gen1_pipeline_variants_agree.
+    # batch sweep on v5e (dense): 64 -> 2270, 128 -> 2660, 256 -> 2340 w/s
     "gen1_taf": dict(sensor_hw=(240, 304), input_hw=(256, 320), batch=128,
-                     events_per_bin=16384,
+                     events_per_bin=16384, fused=False, scatter="pallas",
+                     kernel=True,
                      metric="gen1_aed_taf8_encode_detect_throughput"),
+    # previous flagship formulation (fused dense one-hot MXU scatter, one
+    # program) kept for A/B
+    "gen1_taf_dense": dict(sensor_hw=(240, 304), input_hw=(256, 320),
+                           batch=128, events_per_bin=16384,
+                           metric="gen1_aed_taf8_encode_detect_throughput"),
     # 1MEGAPIXEL: the reference scales event coordinates and encodes gen4 at
     # the 512x640 target resolution (generate_taf.py:216-219) — the state
     # grid never exists at 720x1280. The 655k-cell grid makes the dense
