@@ -120,6 +120,12 @@ CONFIGS = {
     "gen1_latency": dict(sensor_hw=(240, 304), input_hw=(256, 320), batch=1,
                          events_per_bin=16384, latency=True,
                          metric="gen1_aed_taf8_batch1_window_latency"),
+    # batch-1 latency through the fused-kernel pipeline (the round-5
+    # throughput winner) — fewer HBM passes should shave the device leg
+    "gen1_latency_kernel": dict(sensor_hw=(240, 304), input_hw=(256, 320),
+                                batch=1, events_per_bin=16384, latency=True,
+                                fused=False, scatter="pallas", kernel=True,
+                                metric="gen1_aed_taf8_batch1_window_latency"),
     "gen4_latency": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=1,
                          events_per_bin=65536, fused=False, scatter="pallas",
                          p64=True, folded_stem=True, latency=True,
@@ -133,6 +139,12 @@ CONFIGS = {
     "gen1_sae": dict(encoder="sae", sensor_hw=(240, 304), batch=128,
                      events_per_bin=16384,
                      metric="gen1_sae_stream_encode_throughput"),
+    # serial `.at[].max` SAE A/B: costs O(E) independent of key clustering,
+    # so it may win on skewed streams where the sorted path pays for
+    # same-cell runs (uniform: sorted 7134 w/s vs max 3523 profiled)
+    "gen1_sae_max": dict(encoder="sae", sae_impl="max", sensor_hw=(240, 304),
+                         batch=128, events_per_bin=16384,
+                         metric="gen1_sae_stream_encode_throughput_max"),
     "gen1_ev": dict(encoder="ev", sensor_hw=(240, 304), batch=128,
                     events_per_bin=16384,
                     metric="gen1_ev_stream_encode_throughput"),
@@ -619,7 +631,8 @@ def run_encoder_bench(cfg, batch, events_kind):
             # now as a device scalar: a python float would retrace per step
             return fn(ev, nv, state, jnp.float32(now))
     elif kind == "sae":
-        fn = jax.jit(partial(sae_stream, height=h, width=w))
+        fn = jax.jit(partial(sae_stream, height=h, width=w,
+                             impl=cfg.get("sae_impl", "sorted")))
 
         def step(state, ev, nv, now):
             return fn(ev, nv, state, jnp.float32(now))

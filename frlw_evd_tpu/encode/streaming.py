@@ -334,9 +334,9 @@ def taf_stream_step_folded(state_f, xytp, n_valid, any_events=None, *,
 # SAE
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("height", "width"))
+@partial(jax.jit, static_argnames=("height", "width", "impl"))
 def sae_stream(xytp, n_valid, memory, now, *, height: int, width: int,
-               lamdas=(0.00001, 0.0000025, 0.000001)):
+               lamdas=(0.00001, 0.0000025, 0.000001), impl: str = "sorted"):
     """Batched decayed last-timestamp surface with memory carry.
 
     The per-pixel-per-polarity last-event timestamp is computed with
@@ -345,7 +345,11 @@ def sae_stream(xytp, n_valid, memory, now, *, height: int, width: int,
     generate_surfaceofactiveevents.py:49) with no XLA serial scatter; the
     `.at[].max` formulation measured 702.5 w/s on v5e where the count-image
     scatter ran 3561 (log/round4), because XLA lowers scatter-max to a
-    per-update loop.
+    per-update loop. `impl="max"` keeps that serial-scatter formulation as
+    an A/B (timestamps are monotone within a window, so max == last write);
+    its cost scales with the event count, not key clustering, which makes
+    it the candidate winner on skewed/bursty streams where the sorted
+    path pays for long same-cell runs.
     """
     B, E = xytp.shape[:2]
     if memory is None:
@@ -362,10 +366,18 @@ def sae_stream(xytp, n_valid, memory, now, *, height: int, width: int,
     # ~16 mantissa bits, so dt over the 5 s SAE window is exact to ~75 µs
     # at the decayed-out far end and sub-µs near now, where raw absolute
     # µs timestamps would lose real precision
-    cnt, dt_last = segment_last_sorted(idx, t - now, valid,
-                                       height * width * 2)
-    t_img = jnp.where(cnt > 0, now + dt_last, -jnp.inf).reshape(
-        B, height, width, 2)
+    if impl == "max":
+        dt_masked = jnp.where(valid, t - now, -jnp.inf)
+        base = jnp.full((B, height * width * 2), -jnp.inf, jnp.float32)
+        dt_last = jax.vmap(
+            lambda b, i, v: b.at[i].max(v, mode="drop"))(base, idx, dt_masked)
+        t_img = jnp.where(jnp.isfinite(dt_last), now + dt_last,
+                          -jnp.inf).reshape(B, height, width, 2)
+    else:
+        cnt, dt_last = segment_last_sorted(idx, t - now, valid,
+                                           height * width * 2)
+        t_img = jnp.where(cnt > 0, now + dt_last, -jnp.inf).reshape(
+            B, height, width, 2)
     # monotone max-merge with the running memory (reference :52); cells with
     # no events this window keep the memory value
     t_img = jnp.maximum(t_img, memory)

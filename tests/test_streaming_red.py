@@ -252,6 +252,23 @@ def test_sae_stream(rng):
     ref, _ = oracle.sae(ev[0], (H, W), [1e-5, 2.5e-6, 1e-6], None, now)
     np.testing.assert_allclose(np.asarray(out[0]).transpose(2, 0, 1), ref,
                                rtol=1e-3, atol=1e-2)
+    # the serial `.at[].max` A/B formulation (bench gen1_sae_max) must
+    # produce the same surface as the sorted segment-last default, incl.
+    # with a padded tail of invalid events and a carried memory
+    out_m, mem_m = sae_stream(jnp.asarray(ev), jnp.full(B, E - 37, jnp.int32),
+                              None, jnp.float32(now), height=H, width=W,
+                              impl="max")
+    out_s, mem_s = sae_stream(jnp.asarray(ev), jnp.full(B, E - 37, jnp.int32),
+                              None, jnp.float32(now), height=H, width=W)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s),
+                               rtol=1e-3, atol=1e-2)
+    out_m2, _ = sae_stream(jnp.asarray(ev), jnp.full(B, E, jnp.int32), mem_m,
+                           jnp.float32(now + 10_000.0), height=H, width=W,
+                           impl="max")
+    out_s2, _ = sae_stream(jnp.asarray(ev), jnp.full(B, E, jnp.int32), mem_s,
+                           jnp.float32(now + 10_000.0), height=H, width=W)
+    np.testing.assert_allclose(np.asarray(out_m2), np.asarray(out_s2),
+                               rtol=1e-3, atol=1e-2)
 
 
 # ---------------------------------------------------------------------------

@@ -285,6 +285,34 @@ MATRIX = {
             "train_gen1_skewed", config="gen1_train", batch=128, rng="rbg",
             events="skewed")),
     ],
+    # eighth wave: consolidation on the new fused-kernel flagship default —
+    # its skew row (the dense default's "no cliff" row doesn't transfer
+    # automatically), its batch-scaling curve (dense peaked at 128), the
+    # kernel-formulation batch-1 latency (fewer HBM passes should shave the
+    # device leg), the batch-192 train point between the 128 peak and the
+    # 256 droop, and the `.at[].max` SAE on skewed streams (O(E) serial
+    # scatter vs the sorted path's clustered-run penalty). OOM-risky
+    # batch-256 row last.
+    "gen1h": [
+        ("gen1_kernel_skewed", 900, bench_row(
+            "gen1_kernel_skewed", config="gen1_taf", events="skewed")),
+        ("latency_gen1_kernel", 900, bench_row(
+            "latency_gen1_kernel", config="gen1_latency_kernel")),
+        ("latency_gen1_kernel_int8", 900, bench_row(
+            "latency_gen1_kernel_int8", config="gen1_latency_kernel",
+            dtype="int8")),
+        ("enc_sae_max", 600, bench_row(
+            "enc_sae_max", config="gen1_sae_max")),
+        ("enc_sae_skewed_max", 600, bench_row(
+            "enc_sae_skewed_max", config="gen1_sae_max", events="skewed")),
+        ("gen1_kernel_b192", 900, bench_row(
+            "gen1_kernel_b192", config="gen1_taf", batch=192)),
+        ("train_gen1_rbg_b192", 1200, bench_row(
+            "train_gen1_rbg_b192", config="gen1_train", rng="rbg",
+            batch=192)),
+        ("gen1_kernel_b256", 900, bench_row(
+            "gen1_kernel_b256", config="gen1_taf", batch=256)),
+    ],
     "gen4": [
         # gen4 training bf16 at batch 16 (VERDICT #3 — the number two
         # outages ate). The step is mixed-precision by construction.
