@@ -165,6 +165,51 @@ def _quant_ctx(quant):
     return int8_ctx(*(quant or (None, None)))
 
 
+def _detect_body(model, variables, vol, nms_impl, quant):
+    """The detect stage every pipeline shares: model forward (optionally
+    int8), f32 decode, fixed-size NMS, scalar keep-count. One definition —
+    an A/B between pipeline builders must only vary the encode side."""
+    with _quant_ctx(quant):
+        outs = model.apply(variables, vol, False)
+    outs = [o.astype(jnp.float32) for o in outs]
+    decoded = eval_decode(outs, (8, 16, 32))
+    _, keep = postprocess_batch(decoded, max_detections=100,
+                                nms_impl=nms_impl)
+    return keep.sum()
+
+
+def _make_detect(model, variables, nms_impl, quant):
+    @jax.jit
+    def detect(vol):
+        return _detect_body(model, variables, vol, nms_impl, quant)
+
+    return detect
+
+
+def _attach_stages(encode_transform, detect):
+    def run_step(state, ev, nv):
+        # python-chained stages cost ~dispatch only (and a scan over steps
+        # made the remote compiler pathologically slow)
+        state, vol = encode_transform(state, ev, nv)
+        return state, detect(vol)
+
+    run_step.stages = {"encode_transform": encode_transform,
+                       "detect": detect}
+    return run_step
+
+
+def _nearest_resize_batched(vol, sensor_hw, input_hw):
+    """Nearest resize of a (B, H, W, C) volume as two single-axis takes — a
+    combined 2D-index gather costs ~40 ms on the gen4 grid. No-op when the
+    shapes already match."""
+    if input_hw == sensor_hw:
+        return vol
+    h, w = sensor_hw
+    ys = (jnp.arange(input_hw[0]) * (h / input_hw[0])).astype(jnp.int32)
+    xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(jnp.int32)
+    return jnp.take(jnp.take(vol, ys, axis=1), xs, axis=2)
+
+
 def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas",
                       folded=False, nms_impl="fixpoint", quant=None):
     """Patchified-state pipeline: the TAF queue lives at quarter resolution
@@ -184,23 +229,8 @@ def make_pipeline_p64(model, variables, sensor_hw, scatter="pallas",
                                           scatter=scatter, precise=False,
                                           fold_output=folded)
 
-    @jax.jit
-    def detect(vol):
-        with _quant_ctx(quant):
-            outs = model.apply(variables, vol, False)
-        outs = [o.astype(jnp.float32) for o in outs]
-        decoded = eval_decode(outs, (8, 16, 32))
-        dets, keep = postprocess_batch(decoded, max_detections=100,
-                                       nms_impl=nms_impl)
-        return keep.sum()
-
-    def run_step(state, ev, nv):
-        state, vol = encode_transform(state, ev, nv)
-        return state, detect(vol)
-
-    run_step.stages = {"encode_transform": encode_transform,
-                       "detect": detect}
-    return run_step
+    return _attach_stages(encode_transform,
+                          _make_detect(model, variables, nms_impl, quant))
 
 
 def make_pipeline_packed(model, variables, sensor_hw, input_hw,
@@ -219,29 +249,10 @@ def make_pipeline_packed(model, variables, sensor_hw, input_hw,
         state = taf_stream_step_packed(state, xytp, n_valid,
                                        scatter=scatter, precise=False)
         vol = (leaky_transform(state) / 255.0).astype(jnp.bfloat16)
-        if input_hw != (h, w):
-            ys = (jnp.arange(input_hw[0]) * (h / input_hw[0])).astype(jnp.int32)
-            xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(jnp.int32)
-            vol = jnp.take(jnp.take(vol, ys, axis=1), xs, axis=2)
-        return state, vol
+        return state, _nearest_resize_batched(vol, (h, w), input_hw)
 
-    @jax.jit
-    def detect(vol):
-        with _quant_ctx(quant):
-            outs = model.apply(variables, vol, False)
-        outs = [o.astype(jnp.float32) for o in outs]
-        decoded = eval_decode(outs, (8, 16, 32))
-        dets, keep = postprocess_batch(decoded, max_detections=100,
-                                       nms_impl=nms_impl)
-        return keep.sum()
-
-    def run_step(state, ev, nv):
-        state, vol = encode_transform(state, ev, nv)
-        return state, detect(vol)
-
-    run_step.stages = {"encode_transform": encode_transform,
-                       "detect": detect}
-    return run_step
+    return _attach_stages(encode_transform,
+                          _make_detect(model, variables, nms_impl, quant))
 
 
 def make_pipeline_kernel(model, variables, sensor_hw, input_hw,
@@ -263,31 +274,10 @@ def make_pipeline_kernel(model, variables, sensor_hw, input_hw,
                                               height=h, width=w,
                                               scatter=scatter, precise=False)
         # vol (B, H, W, 2K) bf16 in [0, 1] — the network-input channel order
-        if input_hw != (h, w):
-            ys = (jnp.arange(input_hw[0]) * (h / input_hw[0])).astype(
-                jnp.int32)
-            xs = (jnp.arange(input_hw[1]) * (w / input_hw[1])).astype(
-                jnp.int32)
-            vol = jnp.take(jnp.take(vol, ys, axis=1), xs, axis=2)
-        return state_f, vol
+        return state_f, _nearest_resize_batched(vol, (h, w), input_hw)
 
-    @jax.jit
-    def detect(vol):
-        with _quant_ctx(quant):
-            outs = model.apply(variables, vol, False)
-        outs = [o.astype(jnp.float32) for o in outs]
-        decoded = eval_decode(outs, (8, 16, 32))
-        dets, keep = postprocess_batch(decoded, max_detections=100,
-                                       nms_impl=nms_impl)
-        return keep.sum()
-
-    def run_step(state, ev, nv):
-        state, vol = encode_transform(state, ev, nv)
-        return state, detect(vol)
-
-    run_step.stages = {"encode_transform": encode_transform,
-                       "detect": detect}
-    return run_step
+    return _attach_stages(encode_transform,
+                          _make_detect(model, variables, nms_impl, quant))
 
 
 def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
@@ -305,6 +295,13 @@ def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
     the full-input-resolution resize, and the model must use the bfm_p64
     stem (identical params): the 16-channel-minor full-resolution input
     volume never exists, so every stem op runs at quarter res / 64-minor."""
+    if scatter not in ("mxu", "sorted", "xla"):
+        # the unpacked (B,H,W,2,K)-state step has no banded-Pallas variant;
+        # reject rather than silently fall through to the serial XLA
+        # scatter under a "pallas" label
+        raise ValueError(f"make_pipeline supports scatter 'mxu', 'sorted' "
+                         f"or 'xla' (serial), got {scatter!r} — the pallas "
+                         f"formulation needs the packed/kernel/p64 pipeline")
     h, w = sensor_hw
 
     def _state_to_input(state):
@@ -344,25 +341,10 @@ def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
                                 use_mxu=(scatter == "mxu"))
         return state, jax.vmap(_state_to_input)(state)
 
-    @jax.jit
-    def detect(vol):
-        with _quant_ctx(quant):
-            outs = model.apply(variables, vol, False)
-        outs = [o.astype(jnp.float32) for o in outs]
-        decoded = eval_decode(outs, (8, 16, 32))
-        dets, keep = postprocess_batch(decoded, max_detections=100,
-                                       nms_impl=nms_impl)
-        return keep.sum()
-
     if not fused:
-        def run_step(state, ev, nv):
-            # python-chained stages cost ~dispatch only (and a scan over
-            # steps made the remote compiler pathologically slow)
-            state, vol = encode_transform(state, ev, nv)
-            return state, detect(vol)
-        run_step.stages = {"encode_transform": encode_transform,
-                           "detect": detect}
-        return run_step
+        return _attach_stages(encode_transform,
+                              _make_detect(model, variables, nms_impl,
+                                           quant))
 
     @partial(jax.jit, donate_argnums=(0,))
     def run_step_fused(state, ev, nv):
@@ -370,13 +352,7 @@ def make_pipeline(model, variables, sensor_hw, input_hw, scatter="mxu",
                                 use_sorted=(scatter == "sorted"),
                                 use_mxu=(scatter == "mxu"))
         vol = jax.vmap(_state_to_input)(state).astype(jnp.bfloat16)
-        with _quant_ctx(quant):
-            outs = model.apply(variables, vol, False)
-        outs = [o.astype(jnp.float32) for o in outs]
-        decoded = eval_decode(outs, (8, 16, 32))
-        _, keep = postprocess_batch(decoded, max_detections=100,
-                                    nms_impl=nms_impl)
-        return state, keep.sum()
+        return state, _detect_body(model, variables, vol, nms_impl, quant)
 
     return run_step_fused
 
@@ -746,11 +722,12 @@ def make_parser():
                         help="also print a per-stage breakdown (split "
                              "pipeline only) to stderr")
     parser.add_argument("--scatter", default="auto",
-                        choices=("auto", "mxu", "sorted", "pallas"),
+                        choices=("auto", "mxu", "sorted", "pallas", "xla"),
                         help="encode scatter formulation override for the "
                              "inference pipelines (auto = the config's "
-                             "entry: mxu dense one-hot at GEN1, "
-                             "pallas/sorted at 1 Mpx). The sorted "
+                             "entry; unsupported pipeline/formulation "
+                             "pairs are rejected, not substituted). "
+                             "The sorted "
                              "O(E*delta) path profiled ~2x the dense "
                              "one-hot at GEN1's 146k-cell grid "
                              "(tools/enc_profile.py), so gen1_taf_sorted "
@@ -832,28 +809,48 @@ def run_config(args):
         # quantized detect program differs anyway — use the split pipeline
         args.fused = "off"
 
-    def _scatter(default):
-        return (cfg.get("scatter", default) if args.scatter == "auto"
-                else args.scatter)
+    def _scatter(default, supported):
+        s = (cfg.get("scatter", default) if args.scatter == "auto"
+             else args.scatter)
+        if s not in supported:
+            # reject rather than silently run a different formulation — a
+            # banked row's label must describe what actually ran
+            raise SystemExit(f"--scatter {s} is not supported by the "
+                             f"{args.config} pipeline (supported: "
+                             f"{'/'.join(supported)})")
+        return s
+
+    # the kernel/packed/p64 formulations are inherently split programs;
+    # --fused only selects between the canonical pipeline's two forms
+    if args.fused != "auto" and (cfg.get("p64") or cfg.get("packed")
+                                 or cfg.get("kernel")):
+        raise SystemExit(f"--fused does not apply to the {args.config} "
+                         f"pipeline (kernel/packed/p64 formulations are "
+                         f"split by construction); use gen1_taf_dense for "
+                         f"the fused-vs-split A/B")
 
     def build_pipeline(quant=None):
         if cfg.get("p64"):
             return make_pipeline_p64(model, variables, sensor_hw,
-                                     _scatter("pallas"),
+                                     _scatter("pallas",
+                                              ("pallas", "sorted")),
                                      folded=bool(cfg.get("folded_stem")),
                                      nms_impl=args.nms, quant=quant)
         if cfg.get("packed"):
             return make_pipeline_packed(model, variables, sensor_hw,
                                         input_hw,
-                                        _scatter("pallas"),
+                                        _scatter("pallas",
+                                                 ("pallas", "sorted",
+                                                  "mxu", "xla")),
                                         nms_impl=args.nms, quant=quant)
         if cfg.get("kernel"):
             return make_pipeline_kernel(model, variables, sensor_hw,
                                         input_hw,
-                                        _scatter("pallas"),
+                                        _scatter("pallas",
+                                                 ("pallas", "sorted")),
                                         nms_impl=args.nms, quant=quant)
         return make_pipeline(model, variables, sensor_hw, input_hw,
-                             _scatter("mxu"),
+                             _scatter("mxu", ("mxu", "sorted", "xla")),
                              fused=(cfg.get("fused", True)
                                     if args.fused == "auto"
                                     else args.fused == "on"),

@@ -121,8 +121,13 @@ def taf_stream_step_kernel(state_f, xytp, n_valid, *, height: int,
     if scatter == "pallas":
         cnt, tsum = scatter_cnt_tsum_pallas_sorted(idx, tv, valid, P,
                                                    precise)
-    else:
+    elif scatter == "sorted":
         cnt, tsum = scatter_cnt_tsum_sorted(idx, tv, valid, P, precise)
+    else:
+        # reject rather than silently substitute: a bench row labeled
+        # "mxu" must not actually run the sorted path
+        raise ValueError(f"taf_stream_step_kernel supports scatter "
+                         f"'pallas' or 'sorted', got {scatter!r}")
 
     cnt4 = cnt.reshape(B, H, W, 2)
     tm4 = jnp.where(cnt4 > 0, tsum.reshape(B, H, W, 2) / (cnt4 + 1e-8),
@@ -357,8 +362,11 @@ def taf_stream_step_kernel_p64(state_f, xytp, n_valid, any_events=None, *,
     if scatter == "pallas":
         cnt, tsum = scatter_cnt_tsum_pallas_sorted(idx, tv, valid, P,
                                                    precise)
-    else:
+    elif scatter == "sorted":
         cnt, tsum = scatter_cnt_tsum_sorted(idx, tv, valid, P, precise)
+    else:
+        raise ValueError(f"taf_stream_step_kernel_p64 supports scatter "
+                         f"'pallas' or 'sorted', got {scatter!r}")
 
     if any_events is None:
         any_ev = jnp.any(cnt.reshape(B, -1) > 0, axis=1).astype(jnp.float32)

@@ -359,8 +359,15 @@ def sae_stream(xytp, n_valid, memory, now, *, height: int, width: int,
     y = xytp[..., 1].astype(jnp.int32)
     t = xytp[..., 2]
     p = xytp[..., 3].astype(jnp.int32)
+    # full bounds mask, incl. the negative side: `.at[].max(mode="drop")`
+    # wraps negative indices numpy-style BEFORE the bounds check (see the
+    # NB at taf_stream_step), so without x>=0/y>=0/p-bounds an out-of-crop
+    # event would land in the wrong cell under impl="max" while the sorted
+    # path dropped it — the two A/B implementations must agree on every
+    # input
     valid = ((jnp.arange(E)[None, :] < n_valid[:, None])
-             & (x < width) & (y < height))
+             & (x >= 0) & (x < width) & (y >= 0) & (y < height)
+             & (p >= 0) & (p < 2))
     idx = (y * width + x) * 2 + p
     # centre the carried values at `now`: the bf16 hi+lo value path keeps
     # ~16 mantissa bits, so dt over the 5 s SAE window is exact to ~75 µs

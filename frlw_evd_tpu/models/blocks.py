@@ -106,9 +106,19 @@ class SpmdBatchNorm(nn.BatchNorm):
                 s1 = jax.lax.with_sharding_constraint(s1, rep)
                 s2 = jax.lax.with_sharding_constraint(s2, rep)
                 mean = s1 / n
-                # fast-variance form (flax default): E[x^2] - E[x]^2,
-                # clipped — round-off can push it slightly negative
-                var = jnp.maximum(0.0, s2 / n - mean * mean)
+                if self.use_fast_variance:
+                    # fast-variance form (flax default): E[x^2] - E[x]^2,
+                    # clipped — round-off can push it slightly negative
+                    var = jnp.maximum(0.0, s2 / n - mean * mean)
+                else:
+                    # exact (recentred) variance, same semantics as the
+                    # unmeshed flax path: a second pinned reduction of
+                    # (x - mean)^2 — callers setting use_fast_variance
+                    # must not get mesh-dependent numerics
+                    d = xs - mean.reshape([x.shape[a] if a in feature_axes
+                                           else 1 for a in range(x.ndim)])
+                    v = (d * d).sum(reduction_axes)
+                    var = jax.lax.with_sharding_constraint(v, rep) / n
                 if not self.force_float32_reductions:
                     mean = mean.astype(self.param_dtype)
                     var = var.astype(self.param_dtype)

@@ -96,7 +96,13 @@ def maybe_merged_int8_conv(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
         return None
     qk, sw, xq_parts, out_scales = [], [], [], []
     for key, p, kern in zip(keys, parts, kernels):
-        sx = scales[key]
+        # groups == 1: all branches share one input tensor, and that input
+        # is quantized ONCE with branch 0's activation scale below — so
+        # every branch's output must be dequantized with that same scale,
+        # whatever its own banked value says (a hand-merged or re-sliced
+        # scales dict could disagree; using per-branch sx here would make
+        # branch outputs silently wrong by the scale ratio)
+        sx = scales[keys[0]] if groups == 1 else scales[key]
         if key in table:
             q, s = table[key]
         else:
@@ -107,10 +113,8 @@ def maybe_merged_int8_conv(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
         xq_parts.append(jnp.clip(
             jnp.round(p.astype(jnp.float32) * (1.0 / sx)),
             -127, 127).astype(jnp.int8))
-    # groups == 1: all branches share the input tensor AND therefore the
-    # same calibrated max|x| (both record/canonical passes bank the same
-    # value under each branch key), so quantizing once with branch 0's
-    # scale is exact for every branch; the unused xq_parts are DCE'd.
+    # groups == 1: quantizing once with branch 0's scale is exact for every
+    # branch (shared input); the unused xq_parts are DCE'd.
     xq = xq_parts[0] if groups == 1 else jnp.concatenate(xq_parts, axis=-1)
     out = jax.lax.conv_general_dilated(
         xq, jnp.concatenate(qk, axis=-1), (1, 1), [(1, 1), (1, 1)],

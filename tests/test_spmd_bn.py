@@ -123,3 +123,43 @@ def test_grad_under_mesh(rng):
         np.testing.assert_allclose(
             g_ref[k], g_sh[k],
             rtol=2e-4, atol=2e-5)
+
+
+def test_meshed_exact_variance(rng):
+    """use_fast_variance=False must give the SAME (recentred-exact) numerics
+    under a mesh as the unmeshed flax path — meshing is a layout decision,
+    not a numerics switch."""
+    # large mean makes E[x^2]-E[x]^2 visibly lossy in f32, separating the
+    # two variance formulas
+    x_host = (1e4 + rng.normal(0, 0.5, (8, 8, 4, 8))).astype(np.float32)
+    x = jnp.asarray(x_host)
+    m = SpmdBatchNorm(use_running_average=False, use_fast_variance=False,
+                      **BN_KW)
+    m_ref = nn.BatchNorm(use_running_average=False, use_fast_variance=False,
+                         **BN_KW)
+    variables = m_ref.init(jax.random.key(0), x)
+    out_ref, mut_ref = m_ref.apply(variables, x, mutable=["batch_stats"])
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "model")))
+    m_fast = SpmdBatchNorm(use_running_average=False, **BN_KW)
+    with mesh:
+        out_sh, mut_sh = jax.jit(
+            lambda v, xx: m.apply(v, xx, mutable=["batch_stats"]))(
+                variables, xs)
+        out_fast, mut_fast = jax.jit(
+            lambda v, xx: m_fast.apply(v, xx, mutable=["batch_stats"]))(
+                variables, xs)
+
+    # exact-vs-exact agrees to f32 mean round-off at this offset…
+    np.testing.assert_allclose(out_ref, out_sh, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(mut_ref["batch_stats"]["var"],
+                               mut_sh["batch_stats"]["var"],
+                               rtol=0.02, atol=1e-6)
+    # …while the fast E[x^2]-E[x]^2 formula is catastrophically lossy here
+    # (true var 0.25 vs eps*mu^2 ≈ 10 representation error), proving the
+    # meshed branch really honored use_fast_variance=False
+    fast_var_err = np.max(np.abs(np.asarray(mut_fast["batch_stats"]["var"])
+                                 - np.asarray(mut_ref["batch_stats"]["var"])))
+    assert fast_var_err > 0.02, fast_var_err

@@ -210,7 +210,7 @@ MATRIX = {
                                              events="skewed")),
         ("enc_ev_v2", 900, bench_row("enc_ev_v2", config="gen1_ev")),
         ("gen1_taf_sorted", 900, bench_row("gen1_taf_sorted",
-                                           config="gen1_taf",
+                                           config="gen1_taf_dense",
                                            scatter="sorted")),
         ("train_gen4_b48", 2400, bench_row(
             "train_gen4_b48", config="gen4_train", batch=48, p64=True)),
@@ -228,7 +228,8 @@ MATRIX = {
     "gen1e": [
         ("gen1_taf_p64", 900, bench_row("gen1_taf_p64",
                                         config="gen1_taf_p64")),
-        ("gen1_profile", 900, bench_row("gen1_profile", config="gen1_taf",
+        ("gen1_profile", 900, bench_row("gen1_profile",
+                                        config="gen1_taf_dense",
                                         fused="off", profile=True)),
         ("gen4_b256", 1800, bench_row("gen4_b256", config="gen4_taf",
                                       batch=256)),
@@ -257,13 +258,13 @@ MATRIX = {
                                             config="gen1_frame",
                                             events="skewed")),
         ("gen1_sorted_split", 900, bench_row(
-            "gen1_sorted_split", config="gen1_taf", fused="off",
+            "gen1_sorted_split", config="gen1_taf_dense", fused="off",
             scatter="sorted")),
         ("gen1_sorted_split_int8", 900, bench_row(
-            "gen1_sorted_split_int8", config="gen1_taf", fused="off",
+            "gen1_sorted_split_int8", config="gen1_taf_dense", fused="off",
             scatter="sorted", dtype="int8")),
         ("gen1_split_int8_profile", 900, bench_row(
-            "gen1_split_int8_profile", config="gen1_taf", fused="off",
+            "gen1_split_int8_profile", config="gen1_taf_dense", fused="off",
             dtype="int8", profile=True)),
     ],
     # seventh wave: the gen1 ENCODE attack. gen1f showed encode+transform
