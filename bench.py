@@ -54,7 +54,9 @@ CONFIGS = {
     # pipeline — 3023.2 w/s vs 2758.8 for the fused dense-one-hot path
     # (kept below as gen1_taf_dense). Volume parity is gated by
     # tests/test_bench_pipelines.py::test_gen1_pipeline_variants_agree.
-    # batch sweep on v5e (dense): 64 -> 2270, 128 -> 2660, 256 -> 2340 w/s
+    # batch sweep on v5e (kernel): 128 -> 3023, 192 -> 2246, 256 -> 2694;
+    # (dense): 64 -> 2270, 128 -> 2660, 256 -> 2340 w/s — 128 is the peak
+    # for both formulations
     "gen1_taf": dict(sensor_hw=(240, 304), input_hw=(256, 320), batch=128,
                      events_per_bin=16384, fused=False, scatter="pallas",
                      kernel=True,
