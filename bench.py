@@ -23,12 +23,7 @@ from __future__ import annotations
 
 import os as _os
 
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       _os.path.expanduser("~/.cache/jax_comp_cache"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-# 0, not the 1 s default: through the axon tunnel the CLIENT-side
-# compile step is sub-second (the real multi-minute compile happens
-# remotely), so the default threshold silently caches nothing.
+import jax_cache_env  # noqa: F401  (env setup BEFORE jax import)
 
 import json
 import sys
@@ -58,8 +53,7 @@ CONFIGS = {
     # (dense): 64 -> 2270, 128 -> 2660, 256 -> 2340 w/s — 128 is the peak
     # for both formulations
     "gen1_taf": dict(sensor_hw=(240, 304), input_hw=(256, 320), batch=128,
-                     events_per_bin=16384, fused=False, scatter="pallas",
-                     kernel=True,
+                     events_per_bin=16384, scatter="pallas", kernel=True,
                      metric="gen1_aed_taf8_encode_detect_throughput"),
     # previous flagship formulation (fused dense one-hot MXU scatter, one
     # program) kept for A/B
@@ -73,7 +67,7 @@ CONFIGS = {
     # (94 ms vs 151 ms mxu vs ~300 ms XLA serial scatter at batch 128).
     # batch sweep: 16 -> 264 w/s, 32 -> 338, 64 -> 433, 128 -> 494
     "gen4_taf": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=128,
-                     events_per_bin=65536, fused=False, scatter="pallas",
+                     events_per_bin=65536, scatter="pallas",
                      p64=True, folded_stem=True,
                      metric="gen4_aed_taf8_encode_detect_throughput"),
     # gen1 with the patchified detector input assembled straight from the
@@ -84,7 +78,7 @@ CONFIGS = {
                          metric="gen1_aed_taf8_encode_detect_throughput"),
     # previous packed-state (full-res 16-channel) pipeline for A/B
     "gen4_taf_packed": dict(sensor_hw=(512, 640), input_hw=(512, 640),
-                            batch=128, events_per_bin=65536, fused=False,
+                            batch=128, events_per_bin=65536,
                             scatter="pallas", packed=True,
                             metric="gen4_aed_taf8_encode_detect_throughput"),
     # gen1 encode-stage attack A/Bs (the encode stage is ~63% of the gen1
@@ -93,12 +87,8 @@ CONFIGS = {
     # scatter, XLA update; kernel = folded state + fused Pallas
     # update+leaky kernel (one HBM pass) + pallas banded scatter.
     "gen1_taf_packed": dict(sensor_hw=(240, 304), input_hw=(256, 320),
-                            batch=128, events_per_bin=16384, fused=False,
+                            batch=128, events_per_bin=16384,
                             scatter="pallas", packed=True,
-                            metric="gen1_aed_taf8_encode_detect_throughput"),
-    "gen1_taf_kernel": dict(sensor_hw=(240, 304), input_hw=(256, 320),
-                            batch=128, events_per_bin=16384, fused=False,
-                            scatter="pallas", kernel=True,
                             metric="gen1_aed_taf8_encode_detect_throughput"),
     # previous-round gen4 pipeline kept for A/B comparison
     "gen4_taf_xla": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=128,
@@ -126,10 +116,10 @@ CONFIGS = {
     # throughput winner) — fewer HBM passes should shave the device leg
     "gen1_latency_kernel": dict(sensor_hw=(240, 304), input_hw=(256, 320),
                                 batch=1, events_per_bin=16384, latency=True,
-                                fused=False, scatter="pallas", kernel=True,
+                                scatter="pallas", kernel=True,
                                 metric="gen1_aed_taf8_batch1_window_latency"),
     "gen4_latency": dict(sensor_hw=(512, 640), input_hw=(512, 640), batch=1,
-                         events_per_bin=65536, fused=False, scatter="pallas",
+                         events_per_bin=65536, scatter="pallas",
                          p64=True, folded_stem=True, latency=True,
                          metric="gen4_aed_taf8_batch1_window_latency"),
     # per-representation streaming ENCODER throughput (reference: the
@@ -154,6 +144,10 @@ CONFIGS = {
                        events_per_bin=16384,
                        metric="gen1_frame_stream_encode_throughput"),
 }
+# the gen1g session rows were banked under this name before the winning
+# formulation became the gen1_taf default — keep it as a true alias so the
+# two names can never fork
+CONFIGS["gen1_taf_kernel"] = CONFIGS["gen1_taf"]
 
 K = 8
 STEPS_PER_CALL = 10   # distinct synthetic event batches cycled over
@@ -737,16 +731,74 @@ def make_parser():
     return parser
 
 
+def validate_args(args):
+    """Arg×config compatibility gate (pure python, no device work).
+
+    Rejects any pipeline×flag pair that would otherwise silently run a
+    formulation the banked row's label does not describe, resolves the
+    per-config NMS default, and applies the int8 auto-split. Returns the
+    config dict. Unit-tested directly (tests/test_bench_pipelines.py)."""
+    cfg = CONFIGS[args.config]
+    if args.dtype == "int8" and (cfg.get("train") or cfg.get("encoder")):
+        raise SystemExit("--dtype int8 applies to the inference configs only")
+
+    def _reject_inapplicable(kind, flags):
+        bad = [name for name, hit in flags if hit]
+        if bad:
+            raise SystemExit(f"{', '.join(bad)} do(es) not apply to the "
+                             f"{kind} config {args.config}")
+
+    if cfg.get("encoder"):
+        _reject_inapplicable("encoder", (
+            ("--scatter", args.scatter != "auto"),
+            ("--nms", args.nms is not None),
+            ("--fused", args.fused != "auto"),
+            ("--merged_head", args.merged_head),
+            ("--profile", args.profile),
+            ("--p64", args.p64),
+            ("--remat", args.remat),
+            ("--remat_policy", args.remat_policy is not None),
+            ("--rng", args.rng != "threefry2x32")))
+    elif cfg.get("train"):
+        _reject_inapplicable("train", (
+            ("--scatter", args.scatter != "auto"),
+            ("--nms", args.nms is not None),
+            ("--fused", args.fused != "auto"),
+            ("--profile", args.profile)))
+    else:
+        _reject_inapplicable("inference", (
+            ("--p64", args.p64),
+            ("--remat", args.remat),
+            ("--remat_policy", args.remat_policy is not None),
+            ("--rng", args.rng != "threefry2x32")))
+        # the kernel/packed/p64 formulations are inherently split programs;
+        # --fused only selects between the canonical pipeline's two forms.
+        # Checked BEFORE the int8 auto-split below mutates args.fused — the
+        # guard is about what the USER asked for, and int8 on the kernel
+        # flagship (--config gen1_taf --dtype int8, the 3299.6 w/s
+        # headline) must keep working.
+        if args.fused != "auto" and (cfg.get("p64") or cfg.get("packed")
+                                     or cfg.get("kernel")):
+            raise SystemExit(f"--fused does not apply to the {args.config} "
+                             f"pipeline (kernel/packed/p64 formulations "
+                             f"are split by construction); use "
+                             f"gen1_taf_dense for the fused-vs-split A/B")
+        if args.dtype == "int8" and args.fused == "auto":
+            # calibration reads the encode stage's output volume, and the
+            # quantized detect program differs anyway — split pipeline
+            args.fused = "off"
+
+    if args.nms is None:
+        args.nms = cfg.get("nms", "fixpoint")
+    return cfg
+
+
 def run_config(args):
     """Run one benchmark config; returns the result dict that main() prints
     as the driver JSON line. `args` is the parsed namespace from
     make_parser() (the warm-process session driver constructs it directly
     to run many configs in one process — tools/r5_session.py)."""
-    cfg = CONFIGS[args.config]
-    if args.nms is None:
-        args.nms = cfg.get("nms", "fixpoint")
-    if args.dtype == "int8" and (cfg.get("train") or cfg.get("encoder")):
-        raise SystemExit("--dtype int8 applies to the inference configs only")
+    cfg = validate_args(args)
     if cfg.get("train"):
         batch = args.batch or cfg["batch"]
         wps = run_train_bench(cfg, batch, args.events, remat=args.remat,
@@ -806,10 +858,6 @@ def run_config(args):
         variables)
 
     h, w = sensor_hw
-    if args.dtype == "int8" and args.fused == "auto":
-        # calibration reads the encode stage's output volume, and the
-        # quantized detect program differs anyway — use the split pipeline
-        args.fused = "off"
 
     def _scatter(default, supported):
         s = (cfg.get("scatter", default) if args.scatter == "auto"
@@ -821,15 +869,6 @@ def run_config(args):
                              f"{args.config} pipeline (supported: "
                              f"{'/'.join(supported)})")
         return s
-
-    # the kernel/packed/p64 formulations are inherently split programs;
-    # --fused only selects between the canonical pipeline's two forms
-    if args.fused != "auto" and (cfg.get("p64") or cfg.get("packed")
-                                 or cfg.get("kernel")):
-        raise SystemExit(f"--fused does not apply to the {args.config} "
-                         f"pipeline (kernel/packed/p64 formulations are "
-                         f"split by construction); use gen1_taf_dense for "
-                         f"the fused-vs-split A/B")
 
     def build_pipeline(quant=None):
         if cfg.get("p64"):
@@ -998,6 +1037,8 @@ def run_config(args):
             metric += "_skewed"
         if args.dtype == "int8":
             metric += "_int8"
+        if args.nms == "sequential":
+            metric += "_seqnms"
         return {
             "metric": metric,
             "value": round(ms, 3),

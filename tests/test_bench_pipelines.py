@@ -122,3 +122,46 @@ def test_p64_input_stage_matches_patchified_resize(rng):
     assert vol_p.shape == (B, in_hw[0] // 2, in_hw[1] // 2, 4 * 2 * bench.K)
     np.testing.assert_array_equal(
         np.asarray(space_to_depth_patches(vol)), np.asarray(vol_p))
+
+
+def test_validate_args_gate():
+    """The arg x config compatibility gate: int8 on the kernel flagship must
+    pass (the 3299.6 w/s headline — the int8 auto-split must not trip the
+    --fused guard), while mislabeling combos raise."""
+    import pytest
+
+    def parse(*argv):
+        return bench.make_parser().parse_args(list(argv))
+
+    # the headline int8 path: auto-split happens, no guard trip
+    a = parse("--config", "gen1_taf", "--dtype", "int8")
+    cfg = bench.validate_args(a)
+    assert cfg.get("kernel") and a.fused == "off" and a.nms == "fixpoint"
+
+    # dense config keeps the auto-split too
+    a = parse("--config", "gen1_taf_dense", "--dtype", "int8")
+    bench.validate_args(a)
+    assert a.fused == "off"
+
+    # explicit --fused on a kernel/p64 pipeline is rejected
+    with pytest.raises(SystemExit):
+        bench.validate_args(parse("--config", "gen1_taf", "--fused", "on"))
+    with pytest.raises(SystemExit):
+        bench.validate_args(parse("--config", "gen4_taf", "--fused", "off"))
+    # inapplicable flags are rejected, not ignored
+    with pytest.raises(SystemExit):
+        bench.validate_args(parse("--config", "gen1_sae", "--scatter",
+                                  "sorted"))
+    with pytest.raises(SystemExit):
+        bench.validate_args(parse("--config", "gen1_train", "--nms",
+                                  "sequential"))
+    with pytest.raises(SystemExit):
+        bench.validate_args(parse("--config", "gen1_train", "--dtype",
+                                  "int8"))
+    with pytest.raises(SystemExit):
+        bench.validate_args(parse("--config", "gen1_taf", "--p64"))
+    # train levers pass through on train configs
+    a = parse("--config", "gen1_train", "--rng", "rbg", "--p64")
+    assert bench.validate_args(a).get("train")
+    # the alias can never fork from the flagship
+    assert bench.CONFIGS["gen1_taf_kernel"] is bench.CONFIGS["gen1_taf"]

@@ -163,3 +163,25 @@ def test_meshed_exact_variance(rng):
     fast_var_err = np.max(np.abs(np.asarray(mut_fast["batch_stats"]["var"])
                                  - np.asarray(mut_ref["batch_stats"]["var"])))
     assert fast_var_err > 0.02, fast_var_err
+
+
+def test_private_api_contract():
+    """SpmdBatchNorm leans on private jax/flax internals; this test exists
+    to turn a silent failure mode into a loud one. If _ambient_mesh stops
+    seeing the enclosing mesh after a jax upgrade (its bare except returns
+    None), every other test here still passes — the pinned-stats branch
+    just silently dies and GSPMD reverts to involuntary rematerialization.
+    Pin the contract explicitly instead."""
+    from flax.linen import normalization as _N
+
+    from frlw_evd_tpu.models.blocks import _ambient_mesh
+
+    assert _ambient_mesh() is None  # no mesh active
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    with mesh:
+        m = _ambient_mesh()
+        assert m is not None and set(m.axis_names) == {"data", "model"}
+    # the flax privates the meshed/unmeshed branches call
+    for name in ("_compute_stats", "_canonicalize_axes", "_normalize"):
+        assert callable(getattr(_N, name)), name

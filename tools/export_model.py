@@ -24,13 +24,8 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-# 0, not the 1 s default: through the axon tunnel the CLIENT-side
-# compile step is sub-second (the real multi-minute compile happens
-# remotely), so the default threshold silently caches nothing.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax_cache_env  # noqa: E402,F401  (before jax)
 
 import jax
 import jax.numpy as jnp
